@@ -1,0 +1,79 @@
+"""Headline benchmark: x4 SR of a 1080p frame on one TPU chip.
+
+North star (BASELINE.json / BASELINE.md): the PyTorch reference's target is a
+1920x1080 frame through HiT-SIR-Pro x4 in <150 ms on a v5e chip, i.e. 13.8
+processed (input) megapixels per second.  This benchmark runs the flagship
+model (embed_dim 180, 6x6 depths, 10.2M params) in bfloat16 through the
+overlap-tiled inference path and reports processed input MP/s.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+BASELINE_MPS = 13.8  # 1920*1080 px / 150 ms (reference north-star)
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sisr_tpu.models.hit_sir_pro import HiTSIR, flagship_config
+    from sisr_tpu.parallel.tiling import TiledSR
+
+    h, w = 1080, 1920
+    tile = int(os.environ.get("BENCH_TILE", "192"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "1"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(rng, jnp.zeros((chunk, tile, tile, 3)))
+
+    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
+                     overlap=16, chunk=chunk, out_dtype=jnp.float32)
+
+    img = jnp.asarray(np.random.default_rng(0).random((h, w, 3), dtype=np.float32))
+    img = jax.device_put(img)
+
+    # compile + warmup
+    out = runner(variables, img)
+    out.block_until_ready()
+    assert out.shape == (h * 4, w * 4, 3), out.shape
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        runner(variables, img).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    latency = min(times)
+
+    mps = (h * w / 1e6) / latency
+    print(json.dumps({
+        "metric": "hitsir_pro_x4_1080p_input_megapixels_per_sec",
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_MPS, 3),
+        "latency_ms": round(latency * 1e3, 1),
+        "tile": tile,
+        "chunk": chunk,
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,207 @@
+"""Blind-SR degradation pipeline (BSRGAN recipe).
+
+Host-side synthesis of realistic low-quality training inputs, with
+distribution-level parity to the pipeline the reference imports from KAIR
+(参考资料/KAIR_master/utils/utils_blindsr.py:431-518 ``degradation_bsrgan``):
+
+  * optional pre-downsample to sf=2 (prob 0.25 when sf=4)
+  * a random shuffle of 7 stages with the constraint that the rescale stage
+    (idx 2) precedes the final-downsample stage (idx 3):
+      0,1: Gaussian blur (anisotropic rotated / isotropic, random size+width)
+      2:   random rescale by a factor in [0.5/sf, 2] (up prob .2 / down .7)
+           — or, with prob .25, shifted-kernel blur + nearest ::sf decimation
+      3:   resize to exactly 1/sf of the pre-stage-2 size
+      4:   Gaussian noise — color (p>.6) / grayscale (p<.4) / channel-correlated
+      5:   JPEG recompress, prob 0.9, quality U[30, 95]
+      6:   camera ISP hook (unused — no ISP model ships with the reference)
+  * a final unconditional JPEG recompress
+  * an aligned random (lq_patchsize, sf*lq_patchsize) crop
+
+Exact stochastic replay of the reference is impossible (it consumes Python's
+global RNG in shuffled order); this implementation takes explicit RNGs so
+workers are reproducible and tests can pin randomness.
+
+JPEG coding runs through cv2 (host CPU) — the one stage that cannot move
+on-device; everything else is vectorized numpy/scipy.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+from scipy import ndimage
+
+from sisr_tpu.ops.resize import imresize_matlab_np
+
+# cv2 interpolation codes drawn from: LINEAR(1), CUBIC(2), AREA(3)
+_CV2_INTERPS = (cv2.INTER_LINEAR, cv2.INTER_CUBIC, cv2.INTER_AREA)
+
+
+def gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+    """Isotropic Gaussian kernel, MATLAB fspecial('gaussian') semantics."""
+    half = (size - 1) / 2.0
+    y, x = np.mgrid[-half:half + 1, -half:half + 1]
+    k = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    k[k < np.finfo(float).eps * k.max()] = 0
+    s = k.sum()
+    return k / s if s != 0 else k
+
+
+def anisotropic_gaussian_kernel(size: int, theta: float, l1: float, l2: float) -> np.ndarray:
+    """Rotated anisotropic Gaussian kernel with eigenvalues (l1, l2)."""
+    c, s = np.cos(theta), np.sin(theta)
+    v = np.array([c, s])
+    basis = np.array([[v[0], v[1]], [v[1], -v[0]]])
+    cov = basis @ np.diag([l1, l2]) @ np.linalg.inv(basis)
+    icov = np.linalg.inv(cov)
+
+    half = size / 2.0 + 0.5
+    y, x = np.mgrid[0:size, 0:size]
+    dx = x - half + 1
+    dy = y - half + 1
+    d = np.stack([dx, dy], axis=-1)
+    expo = -0.5 * np.einsum("...i,ij,...j->...", d, icov, d)
+    k = np.exp(expo) / (2 * np.pi * np.sqrt(np.linalg.det(cov)))
+    return k / k.sum()
+
+
+def shifted_downsample_kernel(size: int, sigma: float, sf: int) -> np.ndarray:
+    """Gaussian kernel bilinearly shifted by (sf-1)/2 px so that ::sf nearest
+    decimation stays grid-aligned with the HR image."""
+    k = gaussian_kernel(size, sigma)
+    shift = (sf - 1) * 0.5
+    coords = np.arange(size, dtype=np.float64)
+    src = np.clip(coords + shift, 0, size - 1)
+    i0 = np.floor(src).astype(int)
+    i1 = np.minimum(i0 + 1, size - 1)
+    f = src - i0
+    k = k[i0, :] * (1 - f)[:, None] + k[i1, :] * f[:, None]
+    k = k[:, i0] * (1 - f)[None, :] + k[:, i1] * f[None, :]
+    return k / k.sum()
+
+
+def _conv_blur(img: np.ndarray, kernel: np.ndarray, mode: str = "mirror") -> np.ndarray:
+    return ndimage.convolve(img, kernel[:, :, None], mode=mode)
+
+
+def add_blur(img: np.ndarray, sf: int, rng: _random.Random) -> np.ndarray:
+    wd_aniso = 4.0 + sf
+    wd_iso = 2.0 + 0.2 * sf
+    ksize = 2 * rng.randint(2, 11) + 3
+    if rng.random() < 0.5:
+        k = anisotropic_gaussian_kernel(
+            ksize, rng.random() * np.pi, wd_aniso * rng.random(), wd_aniso * rng.random())
+    else:
+        k = gaussian_kernel(ksize, wd_iso * rng.random())
+    return _conv_blur(img, k)
+
+
+def add_gaussian_noise(img: np.ndarray, rng: _random.Random, nrng: np.random.Generator,
+                       level_lo: int = 2, level_hi: int = 25) -> np.ndarray:
+    level = rng.randint(level_lo, level_hi)
+    branch = nrng.random()
+    if branch > 0.6:  # color noise
+        img = img + nrng.normal(0, level / 255.0, img.shape).astype(np.float32)
+    elif branch < 0.4:  # grayscale noise
+        img = img + nrng.normal(0, level / 255.0, (*img.shape[:2], 1)).astype(np.float32)
+    else:  # channel-correlated noise
+        scale = level_hi / 255.0
+        d = np.diag(nrng.random(3))
+        # random orthonormal basis
+        u, _ = np.linalg.qr(nrng.random((3, 3)))
+        cov = np.abs(scale ** 2 * (u.T @ d @ u))
+        img = img + nrng.multivariate_normal([0, 0, 0], cov, img.shape[:2]).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def add_jpeg_noise(img: np.ndarray, rng: _random.Random) -> np.ndarray:
+    quality = rng.randint(30, 95)
+    bgr = cv2.cvtColor((img.clip(0, 1) * 255.0).round().astype(np.uint8),
+                       cv2.COLOR_RGB2BGR)
+    ok, enc = cv2.imencode(".jpg", bgr, [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+    assert ok
+    dec = cv2.imdecode(enc, 1)
+    return cv2.cvtColor(dec, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def paired_random_crop(lq: np.ndarray, hq: np.ndarray, sf: int, lq_patchsize: int,
+                       rng: _random.Random) -> Tuple[np.ndarray, np.ndarray]:
+    h, w = lq.shape[:2]
+    top = rng.randint(0, h - lq_patchsize)
+    left = rng.randint(0, w - lq_patchsize)
+    lq = lq[top:top + lq_patchsize, left:left + lq_patchsize, :]
+    hq = hq[top * sf:(top + lq_patchsize) * sf, left * sf:(left + lq_patchsize) * sf, :]
+    return lq, hq
+
+
+def degradation_bsrgan(
+    img: np.ndarray,
+    sf: int = 4,
+    lq_patchsize: int = 72,
+    isp_model=None,
+    rng: Optional[_random.Random] = None,
+    nrng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """HWC [0,1] HR image -> (lq patch, hq patch).
+
+    lq is (lq_patchsize, lq_patchsize, C); hq is sf x that.
+    """
+    rng = rng or _random
+    nrng = nrng or np.random.default_rng()
+    jpeg_prob, scale2_prob = 0.9, 0.25
+    sf_ori = sf
+
+    h1, w1 = img.shape[:2]
+    img = np.asarray(img, dtype=np.float32)[: h1 - h1 % sf, : w1 - w1 % sf, :].copy()
+    h, w = img.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(f"image ({h1}x{w1}) too small for lq_patchsize {lq_patchsize}")
+
+    hq = img.copy()
+
+    if sf == 4 and rng.random() < scale2_prob:
+        if nrng.random() < 0.5:
+            img = cv2.resize(img, (w // 2, h // 2), interpolation=rng.choice(_CV2_INTERPS))
+        else:
+            img = imresize_matlab_np(img, 0.5, antialias=True)
+        img = np.clip(img, 0.0, 1.0)
+        sf = 2
+
+    order = rng.sample(range(7), 7)
+    i_rescale, i_down = order.index(2), order.index(3)
+    if i_rescale > i_down:  # final downsample must come after the rescale
+        order[i_rescale], order[i_down] = order[i_down], order[i_rescale]
+
+    pre_w, pre_h = img.shape[1], img.shape[0]
+    for stage in order:
+        if stage in (0, 1):
+            img = add_blur(img, sf, rng)
+        elif stage == 2:
+            pre_w, pre_h = img.shape[1], img.shape[0]
+            if rng.random() < 0.75:
+                sf1 = rng.uniform(1, 2 * sf)
+                img = cv2.resize(img, (int(img.shape[1] / sf1), int(img.shape[0] / sf1)),
+                                 interpolation=rng.choice(_CV2_INTERPS))
+            else:
+                k = shifted_downsample_kernel(25, rng.uniform(0.1, 0.6 * sf), sf)
+                img = _conv_blur(img, k)
+                img = img[::sf, ::sf, :]
+            img = np.clip(img, 0.0, 1.0)
+        elif stage == 3:
+            img = cv2.resize(img, (int(pre_w / sf), int(pre_h / sf)),
+                             interpolation=rng.choice(_CV2_INTERPS))
+            img = np.clip(img, 0.0, 1.0)
+        elif stage == 4:
+            img = add_gaussian_noise(img, rng, nrng)
+        elif stage == 5:
+            if rng.random() < jpeg_prob:
+                img = add_jpeg_noise(img, rng)
+        elif stage == 6:
+            if isp_model is not None and rng.random() < 0.25:
+                img, hq = isp_model(img.copy(), hq)
+
+    img = add_jpeg_noise(img, rng)
+    return paired_random_crop(img, hq, sf_ori, lq_patchsize, rng)

@@ -1,0 +1,574 @@
+"""HiT-SIR-Pro — hierarchical-window spatial+channel self-correlation SR transformer.
+
+TPU-native (flax/NHWC/static-shape) re-design of the reference model
+(reference models/hit_sir_pro.py:1065-1344).  Behavioral parity notes are
+cited per module; the architecture is:
+
+  input (B,H,W,3) in [0,1]
+    -> mean-subtract (ImageNet-ish RGB mean, hit_sir_pro.py:1126-1131)
+    -> shallow extract: MultipleSizeConvExtract (parallel 3/5/7/9 convs with
+       sigmoid gating, :49-100) or a single 3x3 conv
+    -> deep extract: num_layers x RHTB, each = depth x HierarchicalTransformerBlock
+       with per-block window sizes base_win * hier_win_ratios[i] (:802-817),
+       followed by 3x3 conv + residual (:928-936); final LayerNorm (:1299)
+    -> fusion gate between deep and shallow streams (UnionAttention x3, :136-162)
+    -> reconstruction head: pixelshuffle / pixelshuffledirect / nearest+conv /
+       denoise (:1235-1262)
+    -> mean add-back, crop to (H*scale, W*scale) (:1342-1344)
+
+Design differences from the reference (deliberate, TPU-first):
+  * NHWC everywhere (TPU conv layout); (B,L,C) token views are replaced by
+    (B,H,W,C) carries — LayerNorm/MLP act on the trailing C so semantics are
+    identical, but no permutes are materialized.
+  * All shapes static under jit: reflect-padding to window multiples
+    (reference :664-674) becomes a trace-time constant per input shape.
+  * Relative-position bias tables and pooled-bias index maps are built in
+    numpy at trace time and constant-folded by XLA.
+  * Compute dtype is a knob (`dtype`); params stay float32.
+
+Weight parity with torch checkpoints is provided by
+``sisr_tpu.models.torch_port.convert_hit_sir_state_dict``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sisr_tpu.ops.color import IMAGENET_ISH_RGB_MEAN
+from sisr_tpu.ops.pixel_shuffle import pixel_shuffle
+from sisr_tpu.ops.resize import nearest_upsample
+from sisr_tpu.ops.windows import pad_to_multiple, window_partition, window_reverse
+
+Dtype = Any
+
+
+def _gelu(x):
+    # torch nn.GELU() default is the exact erf formulation.
+    return nn.gelu(x, approximate=False)
+
+
+def _conv(features: int, kernel: int, name: str, dtype: Dtype, use_bias: bool = True,
+          feature_group_count: int = 1) -> nn.Conv:
+    """3x3-style conv with torch padding=k//2 semantics (odd k, stride 1)."""
+    pad = kernel // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=use_bias,
+        feature_group_count=feature_group_count,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _layer_norm(name: str, dtype: Dtype) -> nn.LayerNorm:
+    # torch nn.LayerNorm eps default 1e-5 (flax default is 1e-6).
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
+
+
+class MultipleSizeConvExtract(nn.Module):
+    """Multi-kernel-size shallow feature extraction (reference :49-100).
+
+    Four parallel convs (k=3,5,7,9) on the RGB input, each gated by
+    ``sigmoid(conv1x1(x) * conv_k(x))`` with a residual, concatenated and
+    projected back to ``out_channels`` by a 1x1 conv.
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.out_channels
+        branches = [
+            _conv(c, 3, "conv3", self.dtype)(x),
+            _conv(c, 5, "conv5", self.dtype)(x),
+            _conv(c, 7, "conv7", self.dtype)(x),
+            _conv(c, 9, "conv9", self.dtype)(x),
+        ]
+        gate_src = _conv(c, 1, "conv_x", self.dtype)(x)
+        gated = [b * jax.nn.sigmoid(gate_src * b) + b for b in branches]
+        # The reference declares (and checkpoints) an unused LayerNorm here
+        # (:62); materialize it for state-dict/param-count parity.
+        _ = _layer_norm("norm", self.dtype)(jnp.zeros((1, c), dtype=self.dtype))
+        return _conv(c, 1, "conv_last", self.dtype)(jnp.concatenate(gated, axis=-1))
+
+
+class UnionAttention(nn.Module):
+    """Joint C/H/W attention map (reference :104-133).
+
+    Mean+max pooled along each of C, H, W; each 2-channel map runs through a
+    3x3 conv over its remaining two axes; the three broadcast maps are summed
+    and passed through a final 3x3 conv over (H, W).
+    """
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+
+        # channel pool: grid (H, W)
+        cp = jnp.stack([x.mean(axis=-1), x.max(axis=-1)], axis=-1)  # (B,H,W,2)
+        c_att = _conv(1, 3, "conv1", self.dtype)(cp)  # (B,H,W,1)
+
+        # height pool: conv over grid (C, W)  [torch views (b,1,c,w), :124-126]
+        hp = jnp.stack([x.mean(axis=1), x.max(axis=1)], axis=-1)  # (B,W,C,2)
+        hp = hp.transpose(0, 2, 1, 3)  # (B,C,W,2)
+        h_att = _conv(1, 3, "conv2", self.dtype)(hp)[..., 0]  # (B,C,W)
+        h_att = h_att.transpose(0, 2, 1)[:, None, :, :]  # (B,1,W,C)
+
+        # width pool: conv over grid (C, H)  [torch views (b,1,c,h), :128-130]
+        wp = jnp.stack([x.mean(axis=2), x.max(axis=2)], axis=-1)  # (B,H,C,2)
+        wp = wp.transpose(0, 2, 1, 3)  # (B,C,H,2)
+        w_att = _conv(1, 3, "conv3", self.dtype)(wp)[..., 0]  # (B,C,H)
+        w_att = w_att.transpose(0, 2, 1)[:, :, None, :]  # (B,H,1,C)
+
+        return _conv(c, 3, "conv_last", self.dtype)(c_att + h_att + w_att)
+
+
+class Fusion(nn.Module):
+    """Deep/shallow fusion gate (reference :136-162).
+
+    Called as ``fusion(deep_out, shallow)`` mirroring the reference call site
+    (:1317,1324,1330,1339) where the *first* positional arg receives the deep
+    path output (the reference parameter names are swapped — parity is with
+    the positional semantics).
+    """
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        a_att = UnionAttention(self.channels, self.dtype, name="union_attention1")(a)
+        gate = jax.nn.sigmoid(
+            UnionAttention(self.channels, self.dtype, name="union_attention2")(a + b)
+        )
+        b_att = UnionAttention(self.channels, self.dtype, name="union_attention3")(b)
+        return a * jax.nn.sigmoid(a_att * gate) + b * jax.nn.sigmoid(b_att * (1.0 - gate))
+
+
+class SpatialChannelAttention(nn.Module):
+    """QKV pre-attention mixing channel + spatial statistics (reference :317-359)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.dim
+        ch_avg = x.mean(axis=-1, keepdims=True)  # (B,H,W,1)
+        ch_max = x.max(axis=-1, keepdims=True)
+        attn_c1 = nn.leaky_relu(_conv(c, 3, "linear1", self.dtype)(ch_avg), 0.2)
+        attn_c2 = nn.leaky_relu(_conv(c, 3, "linear2", self.dtype)(ch_max), 0.2)
+
+        sp_avg = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        sp_max = x.max(axis=(1, 2), keepdims=True)
+        attn_s1 = nn.Dense(c, dtype=self.dtype, name="linear1_second")(
+            nn.Dense(c // 10, dtype=self.dtype, name="linear1_first")(sp_avg))
+        attn_s2 = nn.Dense(c, dtype=self.dtype, name="linear2_second")(
+            nn.Dense(c // 10, dtype=self.dtype, name="linear2_first")(sp_max))
+
+        return (attn_c1 * attn_s1 + attn_c2 * attn_s2) / 2.0 + x
+
+
+class DynamicPosBias(nn.Module):
+    """CrossFormer-style MLP over relative coordinates (reference :274-313).
+
+    The non-residual path is used (:433): pos3(pos2(pos1(pos_proj(biases)))),
+    each posN = LayerNorm -> ReLU -> Linear.
+    """
+
+    pos_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, biases: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.pos_dim, dtype=self.dtype, name="pos_proj")(biases)
+        for i, feat in ((1, self.pos_dim), (2, self.pos_dim), (3, self.num_heads)):
+            x = _layer_norm(f"pos{i}_norm", self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Dense(feat, dtype=self.dtype, name=f"pos{i}_linear")(x)
+        return x
+
+
+@lru_cache(maxsize=64)
+def _pooled_bias_index(wh: int, ww: int, bh: int, bw: int) -> np.ndarray:
+    """(L, bh*bw) gather indices into the flattened (2wh-1, 2ww-1) grid of
+    *box-averaged* relative-position biases.
+
+    The reference gathers the full (L, L, heads) bias then mean-pools blocks
+    (hit_sir_pro.py:496-500) — O(L^2) memory (400 MB at 64x64 windows).
+    Because the bias depends only on the coordinate difference, the pooled
+    bias equals a (wh/bh, ww/bw) box filter over the relative-coordinate grid
+    evaluated at (y - by*rh + wh-1, x - bx*rw + ww-1): O(window) memory, same
+    values.
+    """
+    rh, rw = wh // bh, ww // bw
+    y, x = np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    y, x = y.reshape(-1), x.reshape(-1)  # (L,)
+    by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+    by, bx = by.reshape(-1), bx.reshape(-1)  # (l_base,)
+    dy = y[:, None] - by[None, :] * rh + (wh - 1)  # (L, l_base)
+    dx = x[:, None] - bx[None, :] * rw + (ww - 1)
+    return (dy * (2 * ww - 1) + dx).astype(np.int32)
+
+
+@lru_cache(maxsize=64)
+def _rpe_mother_set(wh: int, ww: int) -> np.ndarray:
+    """(P, 2) float relative-coordinate table, h-major (reference :479-482)."""
+    bh = np.arange(1 - wh, wh, dtype=np.float32)
+    bw = np.arange(1 - ww, ww, dtype=np.float32)
+    grid = np.stack(np.meshgrid(bh, bw, indexing="ij"))  # (2, 2wh-1, 2ww-1)
+    return grid.reshape(2, -1).T.copy()
+
+
+class SCC(nn.Module):
+    """Spatial-Channel Correlation — the core attention op (reference :362-602).
+
+    Per window of size (wh, ww): the input channels are split into q and v
+    halves across heads; k is *synthesized* as ``(k_gen1(q) + k_gen2(v)) / 2``
+    (:428-429,572).  The spatial branch (S-SC) pools k, v down to the base
+    window via a learned linear over each pooling block (:435-456), computes
+    ``q @ k^T / head_dim`` plus a dynamic relative-position bias mean-pooled
+    to the base window (:475-503), and applies it to v.  The channel branch
+    (C-SC) computes a single-head channel correlation ``(q^T @ k) / L @ v^T``
+    (:515-540).  Both halves are concatenated and linearly projected.
+    """
+
+    dim: int
+    base_win_size: Tuple[int, int]
+    window_size: Tuple[int, int]
+    num_heads: int
+    is_channel_spatial_attn: bool = True
+    value_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, hp, wp, c = x.shape
+        wh, ww = self.window_size
+        # base window = elementwise min(window, base) (reference :415-417)
+        bh = min(wh, self.base_win_size[0])
+        bw = min(ww, self.base_win_size[1])
+        heads = self.num_heads
+        d = c // (2 * heads)  # per-head q/v width
+        l_full = wh * ww
+        l_base = bh * bw
+        rh, rw = wh // bh, ww // bw  # pooling block extent
+
+        if self.is_channel_spatial_attn:
+            qkv = SpatialChannelAttention(c, self.dtype, name="qkv")(x)
+        else:
+            qkv = x
+
+        win = window_partition(qkv, (wh, ww))  # (nWB, L, C)
+        nwb = win.shape[0]
+        qv = win.reshape(nwb, l_full, 2, heads, d)
+        q = qv[:, :, 0].transpose(0, 2, 1, 3)  # (nWB, heads, L, d)
+        v = qv[:, :, 1].transpose(0, 2, 1, 3)
+        k = (nn.Dense(d, dtype=self.dtype, name="k_generate1")(q)
+             + nn.Dense(d, dtype=self.dtype, name="k_generate2")(v)) / 2.0
+
+        pool = nn.Dense(1, dtype=self.dtype, name="spatial_linear")
+
+        def spatial_pool(t):
+            # (nWB, heads, L, d) -> (nWB, heads, l_base, d); contiguous
+            # (rh x rw)-block pooling via a learned linear (reference :435-456).
+            t = t.reshape(nwb, heads, bh, rh, bw, rw, d)
+            t = t.transpose(0, 1, 2, 4, 6, 3, 5).reshape(nwb, heads, l_base, d, rh * rw)
+            return pool(t)[..., 0]
+
+        k_pool = spatial_pool(k)
+        v_pool = spatial_pool(v)
+
+        # ---- S-SC ----
+        corr = jnp.einsum("bhld,bhmd->bhlm", q, k_pool,
+                          preferred_element_type=jnp.float32) / float(d)
+
+        # dynamic relative position bias, mean-pooled to the base window.
+        # Pooling is folded into a box filter over the relative-coordinate
+        # grid (see _pooled_bias_index) — O(L^2)->O(window) vs the reference.
+        rpe = jnp.asarray(_rpe_mother_set(wh, ww), dtype=self.dtype)
+        pos_dim = self.dim // 4
+        pos = DynamicPosBias(pos_dim // 4, heads, self.dtype, name="pos")(rpe)  # (P, heads)
+        if rh == 1 and rw == 1:
+            pooled = pos
+        else:
+            grid = pos.reshape(1, 2 * wh - 1, 2 * ww - 1, heads)
+            grid = jnp.pad(grid, ((0, 0), (rh - 1, 0), (rw - 1, 0), (0, 0)))
+            box = jnp.full((rh, rw, 1, 1), 1.0 / (rh * rw), dtype=grid.dtype)
+            box = jnp.broadcast_to(box, (rh, rw, 1, heads))
+            pooled = jax.lax.conv_general_dilated(
+                grid, box, (1, 1), "VALID", feature_group_count=heads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(-1, heads)
+        idx = jnp.asarray(_pooled_bias_index(wh, ww, bh, bw))
+        bias = pooled[idx.reshape(-1)].reshape(l_full, l_base, heads)
+        bias = bias.transpose(2, 0, 1)  # (heads, L, l_base)
+        corr = corr.astype(self.dtype) + bias[None]
+
+        v_pool = nn.Dropout(self.value_drop, name="value_drop")(
+            v_pool, deterministic=deterministic)
+        x_spatial = jnp.einsum("bhlm,bhmd->bhld", corr, v_pool,
+                               preferred_element_type=jnp.float32).astype(self.dtype)
+        x_spatial = x_spatial.transpose(0, 2, 1, 3).reshape(nwb, l_full, c // 2)
+        x_spatial = window_reverse(x_spatial, (wh, ww), hp, wp)  # (B,Hp,Wp,C/2)
+
+        # ---- C-SC ----  (single-head over merged q/v halves, reference :515-540)
+        q_f = q.transpose(0, 2, 1, 3).reshape(nwb, l_full, heads * d)
+        k_f = k.transpose(0, 2, 1, 3).reshape(nwb, l_full, heads * d)
+        v_f = v.transpose(0, 2, 1, 3).reshape(nwb, l_full, heads * d)
+        corr_c = jnp.einsum("blc,bld->bcd", q_f, k_f,
+                            preferred_element_type=jnp.float32) / float(l_full)
+        v_f = nn.Dropout(self.value_drop, name="value_drop_c")(
+            v_f, deterministic=deterministic)
+        x_channel = jnp.einsum("bcd,bld->blc", corr_c.astype(self.dtype), v_f,
+                               preferred_element_type=jnp.float32).astype(self.dtype)
+        x_channel = window_reverse(x_channel, (wh, ww), hp, wp)
+
+        out = jnp.concatenate([x_spatial, x_channel], axis=-1)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, name="proj_dropout")(out, deterministic=deterministic)
+
+
+class ConvFFN(nn.Module):
+    """FFN with a 5x5 depthwise-conv residual inside (reference :12-46)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # x: (B, H, W, C)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = _gelu(x)
+        dw = _conv(self.hidden, 5, "dwconv", self.dtype,
+                   feature_group_count=self.hidden)(x)
+        x = x + _gelu(dw)
+        x = nn.Dropout(self.drop, name="drop1")(x, deterministic=deterministic)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.drop, name="drop2")(x, deterministic=deterministic)
+
+
+class HierarchicalTransformerBlock(nn.Module):
+    """One STL: pad -> SCC -> unpad -> post-norm residual -> ConvFFN (reference :605-710).
+
+    Non-standard norm placement (post-norm): norm1 is applied *after* the
+    correlation, norm2 *after* the FFN (:699-704).
+    """
+
+    dim: int
+    num_heads: int
+    base_win_size: Tuple[int, int]
+    window_size: Tuple[int, int]
+    mlp_ratio: float = 2.0
+    drop: float = 0.0
+    value_drop: float = 0.0
+    is_channel_spatial_attn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        shortcut = x
+        xp = pad_to_multiple(x, self.window_size)  # reflect (reference :664-674)
+        xp = SCC(
+            dim=self.dim,
+            base_win_size=self.base_win_size,
+            window_size=self.window_size,
+            num_heads=self.num_heads,
+            is_channel_spatial_attn=self.is_channel_spatial_attn,
+            value_drop=self.value_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="correlation",
+        )(xp, deterministic=deterministic)
+        x = xp[:, :h, :w, :]
+        x = _layer_norm("norm1", self.dtype)(x)
+        x = shortcut + x
+        y = ConvFFN(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                    self.dtype, name="mlp")(x, deterministic=deterministic)
+        return x + _layer_norm("norm2", self.dtype)(y)
+
+
+class RHTB(nn.Module):
+    """Residual group: depth x HTB with hierarchical windows, then 3x3 conv
+    + residual (reference :755-936)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    base_win_size: Tuple[int, int]
+    window_sizes: Tuple[Tuple[int, int], ...]
+    mlp_ratio: float = 2.0
+    drop: float = 0.0
+    value_drop: float = 0.0
+    is_channel_spatial_attn: bool = True
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = x
+        # gradient checkpointing analog of reference :831-833
+        block_cls = (nn.remat(HierarchicalTransformerBlock, static_argnums=(2,))
+                     if self.use_checkpoint else HierarchicalTransformerBlock)
+        for i in range(self.depth):
+            y = block_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                base_win_size=self.base_win_size,
+                window_size=self.window_sizes[i],
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop,
+                value_drop=self.value_drop,
+                is_channel_spatial_attn=self.is_channel_spatial_attn,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(y, deterministic)
+        y = _conv(self.dim, 3, "conv", self.dtype)(y)
+        return x + y
+
+
+class HiTSIR(nn.Module):
+    """HiT-SIR-Pro network (reference :1065-1344).  NHWC input in [0,1]."""
+
+    is_mult_size_conv_feat_extract: bool = True
+    is_channel_spatial_attn: bool = True
+    is_fusion: bool = True
+    in_chans: int = 3
+    embed_dim: int = 180
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    base_win_size: Tuple[int, int] = (8, 8)
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    value_drop_rate: float = 0.0
+    upscale: int = 4
+    img_range: float = 1.0
+    upsampler: str = "nearest+conv"
+    use_checkpoint: bool = False
+    hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8, 10, 12)
+    num_feat: int = 64
+    dtype: Dtype = jnp.float32
+
+    def window_sizes(self) -> Tuple[Tuple[int, int], ...]:
+        """Per-block window sizes; only the first ``depth`` ratios are used
+        per stage (reference :802-817)."""
+        return tuple(
+            (int(self.base_win_size[0] * r), int(self.base_win_size[1] * r))
+            for r in self.hier_win_ratios
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, h, w, cin = x.shape
+        c = self.embed_dim
+        dt = self.dtype
+        x = x.astype(dt)
+
+        if cin == 3:
+            mean = jnp.asarray(IMAGENET_ISH_RGB_MEAN, dtype=dt)
+        else:
+            mean = jnp.zeros((1,), dtype=dt)
+        x = (x - mean) * self.img_range
+
+        # 1. shallow feature extraction (reference :1139-1145)
+        if self.is_mult_size_conv_feat_extract:
+            shallow = MultipleSizeConvExtract(c, dt, name="conv_first")(x)
+        else:
+            shallow = _conv(c, 3, "conv_first", dt)(x)
+
+        # 2. deep feature extraction (reference :1284-1302)
+        def forward_features(feat):
+            feat = _layer_norm("patch_embed_norm", dt)(feat)  # patch_norm=True
+            feat = nn.Dropout(self.drop_rate, name="pos_drop")(
+                feat, deterministic=deterministic)
+            wins = self.window_sizes()
+            for i, depth in enumerate(self.depths):
+                feat = RHTB(
+                    dim=c,
+                    depth=depth,
+                    num_heads=self.num_heads[i],
+                    base_win_size=tuple(self.base_win_size),
+                    window_sizes=wins,
+                    mlp_ratio=self.mlp_ratio,
+                    drop=self.drop_rate,
+                    value_drop=self.value_drop_rate,
+                    is_channel_spatial_attn=self.is_channel_spatial_attn,
+                    use_checkpoint=self.use_checkpoint,
+                    dtype=dt,
+                    name=f"layers_{i}",
+                )(feat, deterministic=deterministic)
+            return _layer_norm("norm", dt)(feat)
+
+        def fuse(deep, sh):
+            if self.is_fusion:
+                return Fusion(c, dt, name="fusion")(deep, sh)
+            return deep + sh
+
+        # 3. reconstruction (reference :1235-1262, :1313-1340)
+        if self.upsampler == "pixelshuffle":
+            deep = _conv(c, 3, "conv_after_body", dt)(forward_features(shallow))
+            y = fuse(deep, shallow)
+            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_before_upsample", dt)(y), 0.01)
+            n_up = int(np.log2(self.upscale))
+            for i in range(n_up):
+                y = _conv(4 * self.num_feat, 3, f"upsample_conv{i}", dt)(y)
+                y = pixel_shuffle(y, 2)
+            y = _conv(cin, 3, "conv_last", dt)(y)
+        elif self.upsampler == "pixelshuffledirect":
+            deep = _conv(c, 3, "conv_after_body", dt)(forward_features(shallow))
+            y = fuse(deep, shallow)
+            y = _conv((self.upscale ** 2) * cin, 3, "upsample_conv0", dt)(y)
+            y = pixel_shuffle(y, self.upscale)
+        elif self.upsampler == "nearest+conv":
+            assert self.upscale == 4, "nearest+conv head supports x4 only"
+            deep = _conv(c, 3, "conv_after_body", dt)(forward_features(shallow))
+            y = fuse(deep, shallow)
+            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_before_upsample", dt)(y), 0.01)
+            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_up1", dt)(nearest_upsample(y, 2)), 0.2)
+            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_up2", dt)(nearest_upsample(y, 2)), 0.2)
+            y = _conv(cin, 3, "conv_last", dt)(
+                nn.leaky_relu(_conv(self.num_feat, 3, "conv_hr", dt)(y), 0.2))
+        else:
+            # denoise / artifact-removal head (reference :1260-1262, :1335-1340)
+            deep = _conv(c, 3, "conv_after_body", dt)(forward_features(shallow))
+            res = fuse(deep, shallow)
+            y = x + _conv(cin, 3, "conv_last", dt)(res)
+
+        y = y / self.img_range + mean
+        return y[:, : h * self.upscale, : w * self.upscale, :]
+
+
+def flagship_config(**overrides) -> dict:
+    """The configuration trained by the reference (main.py:26-32)."""
+    cfg = dict(
+        is_mult_size_conv_feat_extract=True,
+        is_channel_spatial_attn=True,
+        is_fusion=True,
+        embed_dim=180,
+        depths=(6, 6, 6, 6, 6, 6),
+        num_heads=(6, 6, 6, 6, 6, 6),
+        base_win_size=(8, 8),
+        mlp_ratio=2.0,
+        upsampler="nearest+conv",
+        hier_win_ratios=(0.5, 1, 2, 4, 6, 8, 10, 12),
+        upscale=4,
+    )
+    cfg.update(overrides)
+    return cfg

@@ -1,0 +1,118 @@
+"""Overlap-tiled arbitrary-resolution inference.
+
+The reference always runs whole images through the model
+(test_experiment.py:75) and only ships overlap tiling as a pattern
+(KAIR main_test_swinir.py:256-284: stride = tile - overlap, last index
+snapped to h - tile, outputs accumulated into E with a ones-mask W, final
+E / W).  Here tiling is first-class and TPU-shaped:
+
+  * ONE compiled program per (H, W, tile) — the model runs inside a
+    ``lax.scan`` over chunks of tile positions, so compile time is one model
+    instance regardless of tile count and all shapes are static.
+  * tiles are gathered/scattered with dynamic slices on device; the blend
+    weight map is a trace-time numpy constant (duplicated positions from
+    chunk padding are counted, keeping the average exact).
+  * ``chunk`` tiles run as one batch through the model to fill the MXU.
+  * a fixed tile size that divides every hierarchical window (default 192 =
+    lcm of the 4..64 window ladder) makes every attention block padding-free.
+
+Images smaller than the tile are padded up, run, and cropped.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def tile_positions(length: int, tile: int, overlap: int) -> List[int]:
+    """Start offsets covering [0, length) with `tile`-sized windows."""
+    if length <= tile:
+        return [0]
+    stride = tile - overlap
+    starts = list(range(0, length - tile, stride))
+    starts.append(length - tile)
+    return starts
+
+
+class TiledSR:
+    """Callable running ``model_apply`` over overlapping tiles of one image.
+
+    model_apply: (variables, (k,t,t,3) NHWC) -> (k, t*s, t*s, 3)
+    """
+
+    def __init__(self, model_apply: Callable, scale: int, tile: int = 192,
+                 overlap: int = 16, chunk: int = 1, out_dtype=jnp.float32):
+        self.model_apply = model_apply
+        self.scale = scale
+        self.tile = tile
+        self.overlap = overlap
+        self.chunk = chunk
+        self.out_dtype = out_dtype
+        self._compiled = {}
+
+    def _positions(self, h: int, w: int) -> np.ndarray:
+        pos = np.asarray([(y, x)
+                          for y in tile_positions(h, self.tile, self.overlap)
+                          for x in tile_positions(w, self.tile, self.overlap)],
+                         dtype=np.int32)
+        # pad to a chunk multiple by repeating the last tile; the weight map
+        # counts duplicates so the overlap average stays exact
+        pad = (-len(pos)) % self.chunk
+        if pad:
+            pos = np.concatenate([pos, np.repeat(pos[-1:], pad, axis=0)])
+        return pos
+
+    def _weight_map(self, h: int, w: int, pos: np.ndarray) -> np.ndarray:
+        s, t = self.scale, self.tile
+        wmap = np.zeros((h * s, w * s, 1), dtype=np.float32)
+        for y, x in pos:
+            wmap[y * s:(y + t) * s, x * s:(x + t) * s] += 1.0
+        return 1.0 / wmap
+
+    def _build(self, h: int, w: int):
+        s, t, c = self.scale, self.tile, self.chunk
+        pos = self._positions(h, w)
+        inv_w = jnp.asarray(self._weight_map(h, w, pos))
+        pos_chunks = pos.reshape(-1, c, 2)
+
+        @jax.jit
+        def run(variables, img):
+            out = jnp.zeros((h * s, w * s, 3), dtype=self.out_dtype)
+
+            def body(acc, yx):
+                patches = jnp.stack([
+                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0), (t, t, 3))
+                    for i in range(c)])
+                sr = self.model_apply(variables, patches).astype(self.out_dtype)
+                for i in range(c):
+                    y, x = yx[i, 0] * s, yx[i, 1] * s
+                    cur = jax.lax.dynamic_slice(acc, (y, x, 0), (t * s, t * s, 3))
+                    acc = jax.lax.dynamic_update_slice(acc, cur + sr[i], (y, x, 0))
+                return acc, None
+
+            out, _ = jax.lax.scan(body, out, jnp.asarray(pos_chunks))
+            return out * inv_w
+
+        return run
+
+    def __call__(self, variables, img: jnp.ndarray) -> jnp.ndarray:
+        """img: (H, W, 3) in [0,1] -> (H*scale, W*scale, 3)."""
+        h, w = img.shape[:2]
+        ph = max(0, self.tile - h)
+        pw = max(0, self.tile - w)
+        if ph or pw:
+            # reflect requires pad < dim; fall back to symmetric for tiny inputs
+            mode = "reflect" if (ph < h and pw < w) else "symmetric"
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        hh, ww = img.shape[:2]
+        key = (hh, ww)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(hh, ww)
+        out = self._compiled[key](variables, img)
+        if ph or pw:
+            out = out[: h * self.scale, : w * self.scale]
+        return out

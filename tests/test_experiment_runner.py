@@ -1,0 +1,120 @@
+"""End-to-end experiment runner test: tiny model + tiny disk dataset, one
+epoch of train+eval, checkpoint/log contract, resume semantics, test stage.
+
+Pattern follows the Real-ESRGAN test suite the reference bundles (build the
+full experiment from config, feed tiny fixtures, assert wiring + outputs).
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sisr_tpu.experiments.hitsir_pro_experiment import hitsir_pro_experiment
+
+TINY_KW = dict(
+    loss="l1",
+    is_mult_size_conv_feat_extract=True,
+    is_channel_spatial_attn=True,
+    is_fusion=True,
+    is_augment=True,
+    batch_size=2,
+    test_model_name="best_psnr_ssim_lpips_model.pth",
+    embed_dim=20,
+    base_win_size=[4, 4],
+    depths=[2],
+    num_heads=[2],
+    mlp_ratio=2,
+    upsampler="nearest+conv",
+    hier_win_ratios=[0.5, 1],
+    train_data_name_list=["setA"],
+    eval_data_name_list=["setB"],
+    test_data_name_list=["setB"],
+    progress=False,
+    eval_tile=64,
+    eval_tile_overlap=8,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    rng = np.random.default_rng(0)
+    for split, name, n, size in [("train", "setA", 2, (300, 280)),
+                                 ("eval", "setB", 1, (96, 84)),
+                                 ("test", "setB", 1, (96, 84))]:
+        d = root / "data" / split / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+    return root
+
+
+@pytest.fixture(scope="module")
+def ran_experiment(workdir):
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        exp = hitsir_pro_experiment(is_test=False, epochs=1, **TINY_KW)
+    finally:
+        os.chdir(cwd)
+    return exp, workdir
+
+
+def test_train_eval_artifacts(ran_experiment):
+    exp, root = ran_experiment
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    weights = root / "weights" / folder
+    logs = root / "logs" / folder
+    assert (weights / "new_epoch_model.pth").exists()
+    assert (weights / "best_psnr_model.pth").exists()
+    assert (weights / "best_psnr_ssim_lpips_model.pth").exists()
+    for log in ["loss_log.txt", "lr_log.txt", "psnr_ssim_lpips_log.txt",
+                "best_epoch_psnr_ssim_lpips_log.txt",
+                "train_eval_seconds_consume_log.txt",
+                "total_seconds_consume_log.txt", "模型参数量.txt"]:
+        assert (logs / log).exists(), log
+    rows = (logs / "psnr_ssim_lpips_log.txt").read_text().splitlines()
+    assert len(rows) == 1 and rows[0].startswith("epoch:00001")
+    psnr = float(rows[0].split()[1])
+    assert 3 < psnr < 60
+
+
+def test_resume_continues_from_checkpoint(ran_experiment):
+    _, root = ran_experiment
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        exp2 = hitsir_pro_experiment(is_test=False, epochs=2, run=False, **TINY_KW)
+        assert exp2.start_epoch == 2  # resumed past epoch 1
+        exp2.run()
+    finally:
+        os.chdir(cwd)
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    rows = (root / "logs" / folder / "loss_log.txt").read_text().splitlines()
+    assert len(rows) == 2
+    assert rows[1].startswith("epoch:00002")
+
+
+def test_test_stage_outputs(ran_experiment):
+    _, root = ran_experiment
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        hitsir_pro_experiment(is_test=True, epochs=2, **TINY_KW)
+    finally:
+        os.chdir(cwd)
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    result = root / "results" / folder / "best_psnr_ssim_lpips_model" / "setB"
+    assert (result / "im0_hr.png").exists()
+    assert (result / "im0_sr.png").exists()
+    assert (result / "test_log.txt").exists()
+    sr = np.asarray(Image.open(result / "im0_sr.png"))
+    hr = np.asarray(Image.open(result / "im0_hr.png"))
+    assert sr.shape == hr.shape

@@ -1,0 +1,101 @@
+"""Golden-activation parity of the flax HiT-SIR-Pro against the reference.
+
+Fixtures in tests/golden/*.npz were produced by tools/make_goldens.py from the
+reference PyTorch implementation (random weights, fixed seeds).  Each case
+loads the recorded torch state_dict through the converter and checks the TPU
+model reproduces the recorded outputs.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sisr_tpu.models.hit_sir_pro import HiTSIR
+from sisr_tpu.models.torch_port import convert_hit_sir_state_dict
+
+GOLDEN = Path(__file__).parent / "golden"
+
+CASES = {
+    "tiny_full": dict(
+        is_mult_size_conv_feat_extract=True, is_channel_spatial_attn=True,
+        is_fusion=True, embed_dim=20, depths=(3,), num_heads=(2,),
+        base_win_size=(4, 4), mlp_ratio=2, upsampler="nearest+conv",
+        upscale=4, hier_win_ratios=(0.5, 1, 2)),
+    "tiny_plain": dict(
+        is_mult_size_conv_feat_extract=False, is_channel_spatial_attn=False,
+        is_fusion=False, embed_dim=20, depths=(2, 2), num_heads=(2, 2),
+        base_win_size=(4, 4), mlp_ratio=2, upsampler="pixelshuffledirect",
+        upscale=4, hier_win_ratios=(0.5, 1)),
+    "tiny_ps_x2": dict(
+        is_mult_size_conv_feat_extract=False, is_channel_spatial_attn=True,
+        is_fusion=True, embed_dim=20, depths=(2,), num_heads=(2,),
+        base_win_size=(4, 4), mlp_ratio=2, upsampler="pixelshuffle",
+        upscale=2, hier_win_ratios=(1, 2)),
+    "stage_hier": dict(
+        is_mult_size_conv_feat_extract=True, is_channel_spatial_attn=True,
+        is_fusion=True, embed_dim=60, depths=(6,), num_heads=(6,),
+        base_win_size=(8, 8), mlp_ratio=2, upsampler="nearest+conv",
+        upscale=4, hier_win_ratios=(0.5, 1, 2, 4, 6, 8)),
+}
+
+
+def _load(name):
+    blob = np.load(GOLDEN / f"hit_sir_{name}.npz")
+    sd = {k[len("sd__"):]: blob[k] for k in blob.files if k.startswith("sd__")}
+    return blob, sd
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_forward_matches_reference(name):
+    blob, sd = _load(name)
+    model = HiTSIR(**CASES[name])
+    variables = convert_hit_sir_state_dict(sd)
+
+    x = jnp.asarray(blob["input"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    y = model.apply(variables, x)
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+
+    ref = blob["output"]
+    assert y.shape == ref.shape
+    # float32 accumulation over up to 36 attention blocks: allow a few 1e-4
+    # max-abs; the RMS bound keeps this bit-near (~90 dB vs the reference).
+    max_err = np.abs(y - ref).max()
+    rms_err = np.sqrt(np.mean((y - ref) ** 2))
+    assert max_err < 1e-3, f"max abs err {max_err:.3e}"
+    assert rms_err < 5e-5, f"rms err {rms_err:.3e}"
+
+
+def test_converter_covers_all_params():
+    """Every torch tensor must land on an existing flax param (and vice versa)."""
+    import jax
+
+    blob, sd = _load("tiny_full")
+    model = HiTSIR(**CASES["tiny_full"])
+    converted = convert_hit_sir_state_dict(sd)
+    x = jnp.asarray(blob["input"].transpose(0, 2, 3, 1))
+    initialized = model.init(jax.random.PRNGKey(0), x)
+
+    conv_paths = {"/".join(str(k.key) for k in p): v.shape
+                  for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+    init_paths = {"/".join(str(k.key) for k in p): v.shape
+                  for p, v in jax.tree_util.tree_leaves_with_path(initialized)}
+    assert conv_paths.keys() == init_paths.keys(), (
+        f"missing={sorted(init_paths.keys() - conv_paths.keys())[:5]} "
+        f"extra={sorted(conv_paths.keys() - init_paths.keys())[:5]}")
+    for k, s in conv_paths.items():
+        assert tuple(s) == tuple(init_paths[k]), f"{k}: {s} vs {init_paths[k]}"
+
+
+def test_flagship_param_count():
+    """Trainable parameter count parity: 10,220,014 (reference logs/.../模型参数量.txt)."""
+    import jax
+    from sisr_tpu.models.hit_sir_pro import flagship_config
+
+    model = HiTSIR(**flagship_config())
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3))), jax.random.PRNGKey(0))
+    n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
+    assert n == 10_220_014

@@ -1,0 +1,241 @@
+"""Generate golden activation fixtures from the reference PyTorch model.
+
+Runs the *reference* implementation (mounted read-only at /root/reference) on
+torch-CPU with fixed seeds and records (state_dict, input, intermediate and
+final activations) into tests/golden/*.npz.  The committed .npz files are the
+parity oracle for the TPU implementation; this script is only needed to
+regenerate them and requires the reference mount.
+
+The reference imports timm and huggingface_hub; timm is not installed here,
+so a minimal shim providing DropPath/to_2tuple/trunc_normal_ is injected
+(these are standard utilities, reimplemented independently below).
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REPO = Path(__file__).resolve().parents[1]
+GOLDEN_DIR = REPO / "tests" / "golden"
+REFERENCE = "/root/reference"
+
+
+def _install_timm_shim():
+    import collections.abc
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            mask = torch.bernoulli(torch.full((x.shape[0],) + (1,) * (x.ndim - 1), keep))
+            return x / keep * mask
+
+    def to_2tuple(x):
+        if isinstance(x, collections.abc.Iterable):
+            return tuple(x)
+        return (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a, b)
+        return tensor
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+
+
+def make_model_goldens():
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    from models.hit_sir_pro import HiT_SIR  # noqa: the reference implementation
+
+    cases = {
+        # exercises: win < base (min path), win == base, pooled win > base,
+        # reflect padding on both axes, MSCE+SCA+fusion, nearest+conv head
+        "tiny_full": dict(
+            kwargs=dict(
+                is_mult_size_conv_feat_extract=True,
+                is_channel_spatial_attn=True,
+                is_fusion=True,
+                embed_dim=20,
+                depths=[3],
+                num_heads=[2],
+                base_win_size=[4, 4],
+                mlp_ratio=2,
+                upsampler="nearest+conv",
+                upscale=4,
+                hier_win_ratios=[0.5, 1, 2],
+            ),
+            shape=(1, 3, 12, 10),
+        ),
+        # all ablations off + lightweight head
+        "tiny_plain": dict(
+            kwargs=dict(
+                is_mult_size_conv_feat_extract=False,
+                is_channel_spatial_attn=False,
+                is_fusion=False,
+                embed_dim=20,
+                depths=[2, 2],
+                num_heads=[2, 2],
+                base_win_size=[4, 4],
+                mlp_ratio=2,
+                upsampler="pixelshuffledirect",
+                upscale=4,
+                hier_win_ratios=[0.5, 1],
+            ),
+            shape=(2, 3, 8, 8),
+        ),
+        # classical pixelshuffle head, x2
+        "tiny_ps_x2": dict(
+            kwargs=dict(
+                is_mult_size_conv_feat_extract=False,
+                is_channel_spatial_attn=True,
+                is_fusion=True,
+                embed_dim=20,
+                depths=[2],
+                num_heads=[2],
+                base_win_size=[4, 4],
+                mlp_ratio=2,
+                upsampler="pixelshuffle",
+                upscale=2,
+                hier_win_ratios=[1, 2],
+            ),
+            shape=(1, 3, 8, 12),
+        ),
+        # flagship-shaped stage: full hierarchical window ladder 4..64 incl.
+        # the 48-window reflect pad, embed_dim 60 / 6 heads (d=5)
+        "stage_hier": dict(
+            kwargs=dict(
+                is_mult_size_conv_feat_extract=True,
+                is_channel_spatial_attn=True,
+                is_fusion=True,
+                embed_dim=60,
+                depths=[6],
+                num_heads=[6],
+                base_win_size=[8, 8],
+                mlp_ratio=2,
+                upsampler="nearest+conv",
+                upscale=4,
+                hier_win_ratios=[0.5, 1, 2, 4, 6, 8],
+            ),
+            shape=(1, 3, 40, 36),
+        ),
+    }
+
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for name, case in cases.items():
+        torch.manual_seed(1234)
+        model = HiT_SIR(**case["kwargs"]).eval()
+        x = torch.rand(*case["shape"], generator=torch.Generator().manual_seed(7))
+
+        grabbed = {}
+
+        def hook(tag):
+            def fn(_m, _inp, out):
+                grabbed[tag] = out.detach().numpy()
+            return fn
+
+        model.conv_first.register_forward_hook(hook("shallow"))
+        model.layers[0].register_forward_hook(hook("rhtb0"))
+        model.layers[0].residual_group.blocks[0].correlation.register_forward_hook(hook("scc0"))
+        with torch.no_grad():
+            y = model(x)
+
+        blob = {
+            "input": x.numpy(),
+            "output": y.numpy(),
+            **{f"act__{k}": v for k, v in grabbed.items()},
+            **{f"sd__{k}": v.numpy() for k, v in model.state_dict().items()},
+        }
+        np.savez_compressed(GOLDEN_DIR / f"hit_sir_{name}.npz", **blob)
+        print(f"{name}: in={tuple(x.shape)} out={tuple(y.shape)} "
+              f"params={sum(p.numel() for p in model.parameters())}")
+
+
+def _install_torchvision_shim():
+    """reference utils/utils.py imports torchvision.transforms.functional at
+    module level; imresize itself never touches it."""
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    functional.to_tensor = None
+    functional.to_pil_image = None
+    functional.hflip = None
+    functional.vflip = None
+    functional.InterpolationMode = None
+    transforms.functional = functional
+    tv.transforms = transforms
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", transforms)
+    sys.modules.setdefault("torchvision.transforms.functional", functional)
+
+
+def make_resize_goldens():
+    _install_torchvision_shim()
+    sys.path.insert(0, REFERENCE)
+    from utils.utils import imresize  # reference MATLAB-parity resampler
+
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 13, 17), dtype=np.float32)
+    blob = {"input": img}
+    for scale in (0.25, 0.5, 0.3, 2.0, 1.7, 4.0):
+        out = imresize(torch.from_numpy(img), scale, antialiasing=True)
+        blob[f"scale_{scale}"] = out.numpy()
+    out = imresize(torch.from_numpy(img), 0.25, antialiasing=False)
+    blob["scale_0.25_noaa"] = out.numpy()
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(GOLDEN_DIR / "imresize.npz", **blob)
+    print("imresize goldens written")
+
+
+def make_discriminator_goldens():
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    import importlib
+
+    disc_mod = importlib.import_module("参考资料.KAIR_master.models.network_discriminator")
+
+    torch.manual_seed(99)
+    model = disc_mod.Discriminator_UNet()
+    x = torch.rand(1, 3, 32, 32, generator=torch.Generator().manual_seed(3))
+    # converge the spectral-norm power iteration (train-mode forwards update
+    # u/v in place); a fresh init has a meaningless sigma estimate
+    model.train()
+    with torch.no_grad():
+        for _ in range(30):
+            model(x)
+    model.eval()
+    with torch.no_grad():
+        y = model(x)
+    blob = {"input": x.numpy(), "output": y.numpy(),
+            **{f"sd__{k}": v.numpy() for k, v in model.state_dict().items()}}
+    np.savez_compressed(GOLDEN_DIR / "discriminator_unet.npz", **blob)
+    print(f"discriminator: out={tuple(y.shape)} "
+          f"params={sum(p.numel() for p in model.parameters())}")
+
+
+if __name__ == "__main__":
+    make_model_goldens()
+    make_resize_goldens()
+    make_discriminator_goldens()
