@@ -24,6 +24,14 @@ def charbonnier_loss(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-12)
     return jnp.sqrt(jnp.square(pred - target) + eps).mean()
 
 
+def tv_loss(x: jnp.ndarray, weight: float = 1.0) -> jnp.ndarray:
+    """Total-variation smoothness loss on NHWC images
+    (library surface parity with KAIR models/loss.py:178-207)."""
+    dh = jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]).mean()
+    dw = jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]).mean()
+    return weight * 2.0 * (dh + dw)
+
+
 def gan_loss(logits: jnp.ndarray, target_is_real: bool,
              real_label_val: float = 1.0, fake_label_val: float = 0.0) -> jnp.ndarray:
     """Vanilla (BCE-with-logits) GAN loss against a constant label map."""
