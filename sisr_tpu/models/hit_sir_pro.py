@@ -227,25 +227,36 @@ class DynamicPosBias(nn.Module):
 
 
 @lru_cache(maxsize=64)
-def _pooled_bias_index(wh: int, ww: int, bh: int, bw: int) -> np.ndarray:
-    """(L, bh*bw) gather indices into the flattened (2wh-1, 2ww-1) grid of
-    *box-averaged* relative-position biases.
+def _bias_gather_maps(wh: int, ww: int, bh: int, bw: int):
+    """Separable gather maps for the pooled relative-position bias.
 
     The reference gathers the full (L, L, heads) bias then mean-pools blocks
     (hit_sir_pro.py:496-500) — O(L^2) memory (400 MB at 64x64 windows).
     Because the bias depends only on the coordinate difference, the pooled
     bias equals a (wh/bh, ww/bw) box filter over the relative-coordinate grid
-    evaluated at (y - by*rh + wh-1, x - bx*rw + ww-1): O(window) memory, same
-    values.
+    evaluated at (y - by*rh + wh-1, x - bx*rw + ww-1); those coordinates are
+    separable in rows/columns, so the full (L, l_base) table is two tiny
+    gathers of at most wh*bh rows / ww*bw columns (profiled: the flat
+    L*l_base gather cost ~0.4 ms/block from 128-lane padding of the
+    heads-minor output).
     """
     rh, rw = wh // bh, ww // bw
-    y, x = np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
-    y, x = y.reshape(-1), x.reshape(-1)  # (L,)
-    by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
-    by, bx = by.reshape(-1), bx.reshape(-1)  # (l_base,)
-    dy = y[:, None] - by[None, :] * rh + (wh - 1)  # (L, l_base)
-    dx = x[:, None] - bx[None, :] * rw + (ww - 1)
-    return (dy * (2 * ww - 1) + dx).astype(np.int32)
+    dy = (np.arange(wh)[:, None] - np.arange(bh)[None, :] * rh + wh - 1)
+    dx = (np.arange(ww)[:, None] - np.arange(bw)[None, :] * rw + ww - 1)
+    return dy.reshape(-1).astype(np.int32), dx.reshape(-1).astype(np.int32)
+
+
+def _bias_table(pooled: jnp.ndarray, wh: int, ww: int, bh: int, bw: int,
+                heads: int) -> jnp.ndarray:
+    """(P', heads) box-filtered grid -> (L, heads*l_base) bias table whose
+    column order (head-major, then base cell) matches the block-diagonal
+    correlation layout."""
+    dy, dx = _bias_gather_maps(wh, ww, bh, bw)
+    g = pooled.reshape(2 * wh - 1, 2 * ww - 1, heads).transpose(2, 0, 1)
+    g = g[:, jnp.asarray(dy), :]          # (heads, wh*bh, 2ww-1)
+    g = g[:, :, jnp.asarray(dx)]          # (heads, wh*bh, ww*bw)
+    g = g.reshape(heads, wh, bh, ww, bw)
+    return g.transpose(1, 3, 0, 2, 4).reshape(wh * ww, heads * bh * bw)
 
 
 @lru_cache(maxsize=64)
@@ -257,24 +268,21 @@ def _rpe_mother_set(wh: int, ww: int) -> np.ndarray:
     return grid.reshape(2, -1).T.copy()
 
 
-class BlockPool(nn.Module):
-    """Learned (rh x rw)-block pooling (the reference's ``spatial_linear``
-    Linear over the pooled-pixel dim, :422,435-456) expressed as an einsum so
-    no tensor with a tiny minor dimension is materialized.  Param layout
-    matches nn.Dense(1): kernel (rh*rw, 1), bias (1,)."""
+class LinearParams(nn.Module):
+    """Parameter container with nn.Dense layout (kernel (in, out), bias
+    (out,)) whose application is up to the caller — lets one parameter set
+    feed both the fused Pallas path and the jnp reference path while keeping
+    torch-converter-compatible names."""
 
-    rh: int
-    rw: int
-    dtype: Dtype = jnp.float32
+    features_in: int
+    features_out: int
 
     @nn.compact
-    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
-        """(nWB, bh, rh, bw, rw, ch) -> (nWB, bh, bw, ch)."""
+    def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (self.rh * self.rw, 1))
-        bias = self.param("bias", nn.initializers.zeros, (1,))
-        w = kernel.reshape(self.rh, self.rw).astype(self.dtype)
-        return jnp.einsum("byrxsc,rs->byxc", t, w) + bias.astype(self.dtype)
+                            (self.features_in, self.features_out))
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
 
 
 class SCC(nn.Module):
@@ -317,49 +325,18 @@ class SCC(nn.Module):
         else:
             qkv = x
 
-        # Layout discipline: q/v/k stay (nWB, L, heads, d) — the small head
-        # width d (e.g. 15) is never the minor dimension of a large tensor
-        # except transiently inside dot_general, avoiding 15->128 lane padding
-        # on every stored intermediate.  Head splits/merges are pure reshapes
-        # (head-major channel order matches the reference's permute+view).
-        win = window_partition(qkv, (wh, ww))  # (nWB, L, C)
-        nwb = win.shape[0]
-        qv = win.reshape(nwb, l_full, 2, heads * d)
-        q = qv[:, :, 0]  # (nWB, L, C/2), channels = (head, d) major-to-minor
-        v = qv[:, :, 1]
-        k_gen1 = nn.Dense(d, dtype=self.dtype, name="k_generate1")
-        k_gen2 = nn.Dense(d, dtype=self.dtype, name="k_generate2")
-        qh4 = q.reshape(nwb, l_full, heads, d)
-        vh4 = v.reshape(nwb, l_full, heads, d)
-        k = ((k_gen1(qh4) + k_gen2(vh4)) / 2.0).reshape(nwb, l_full, heads * d)
+        from sisr_tpu.ops.pallas.scc_attention import (
+            blockdiag_kgen, fused_scc, head_mask, pooling_matrix, scc_reference)
 
-        pool = BlockPool(rh, rw, self.dtype, name="spatial_linear")
-
-        def spatial_pool(t):
-            # (nWB, L, C/2) -> (nWB, l_base, C/2): learned linear over each
-            # contiguous (rh x rw) block (reference :435-456) as one einsum —
-            # no (…, rh*rw)-minor intermediates are materialized.
-            t = t.reshape(nwb, bh, rh, bw, rw, heads * d)
-            return pool(t).reshape(nwb, l_base, heads * d)
-
-        k_pool = spatial_pool(k)
-        v_pool = spatial_pool(v)
-
-        # ---- S-SC ----
-        # Per-head correlation as ONE block-diagonal matmul: embedding each
-        # head's pooled k/v into a (heads*l_base, heads*d) block-diagonal
-        # operand makes the contraction width C/2 (MXU-friendly) instead of
-        # d (15 -> padded 128); cross-head blocks are exactly zero, so the
-        # result equals the per-head einsum bit-for-bit.
-        eye = jnp.eye(heads, dtype=self.dtype)
-        kh = k_pool.reshape(nwb, l_base, heads, d)
-        k_big = jnp.einsum("bmhd,hg->bhmgd", kh, eye).reshape(
-            nwb, heads * l_base, heads * d)
-        corr = jnp.einsum("blc,bmc->blm", q, k_big) / float(d)  # (nwb, L, heads*l_base)
+        k1_kernel, k1_bias = LinearParams(d, d, name="k_generate1")()
+        k2_kernel, k2_bias = LinearParams(d, d, name="k_generate2")()
+        pool_kernel, pool_bias = LinearParams(rh * rw, 1, name="spatial_linear")()
 
         # dynamic relative position bias, mean-pooled to the base window.
         # Pooling is folded into a box filter over the relative-coordinate
-        # grid (see _pooled_bias_index) — O(L^2)->O(window) vs the reference.
+        # grid, then expanded to the (L, heads*l_base) table by two separable
+        # small gathers (see _bias_gather_maps) — O(window) memory vs the
+        # reference's O(L^2) materialization.
         rpe = jnp.asarray(_rpe_mother_set(wh, ww), dtype=self.dtype)
         pos_dim = self.dim // 4
         pos = DynamicPosBias(pos_dim // 4, heads, self.dtype, name="pos")(rpe)  # (P, heads)
@@ -374,30 +351,68 @@ class SCC(nn.Module):
                 grid, box, (1, 1), "VALID", feature_group_count=heads,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).reshape(-1, heads)
-        idx = jnp.asarray(_pooled_bias_index(wh, ww, bh, bw))
-        bias = pooled[idx.reshape(-1)].reshape(l_full, l_base, heads)
-        # match corr's (head, m) column order
-        bias = bias.transpose(0, 2, 1).reshape(l_full, heads * l_base)
-        corr = corr.astype(self.dtype) + bias[None]
+        bias = _bias_table(pooled, wh, ww, bh, bw, heads)  # (L, heads*l_base)
 
-        v_pool = nn.Dropout(self.value_drop, name="value_drop")(
-            v_pool, deterministic=deterministic)
-        vh = v_pool.reshape(nwb, l_base, heads, d)
-        v_big = jnp.einsum("bmhd,hg->bhmgd", vh, eye).reshape(
-            nwb, heads * l_base, heads * d)
-        x_spatial = jnp.einsum("blm,bmc->blc", corr, v_big)  # (nwb, L, C/2)
-        x_spatial = window_reverse(x_spatial, (wh, ww), hp, wp)  # (B,Hp,Wp,C/2)
+        # algebraic normal form shared by the Pallas kernel and the jnp
+        # reference (block-diagonal k-gen, pooling matrix, head mask)
+        w1, w2, bb = blockdiag_kgen(k1_kernel.astype(self.dtype),
+                                    k1_bias.astype(self.dtype),
+                                    k2_kernel.astype(self.dtype),
+                                    k2_bias.astype(self.dtype), heads)
+        pmat, pb = pooling_matrix(pool_kernel, pool_bias, wh, ww, bh, bw, self.dtype)
+        mask = head_mask(heads, l_base, c // 2, self.dtype)
 
-        # ---- C-SC ----  (single-head over merged q/v halves, reference :515-540)
-        corr_c = jnp.einsum("blc,bld->bcd", q, k) / float(l_full)
-        v_f = nn.Dropout(self.value_drop, name="value_drop_c")(
-            v, deterministic=deterministic)
-        x_channel = jnp.einsum("bcd,bld->blc", corr_c, v_f)
-        x_channel = window_reverse(x_channel, (wh, ww), hp, wp)
+        x6 = qkv.reshape(b, hp // wh, wh, wp // ww, ww, c)
+        dropout_active = self.value_drop > 0.0 and not deterministic
+        # Mosaic needs the block's second-minor dim (ww) to be a multiple of
+        # 8; smaller windows and dropout-mode training use the jnp reference.
+        # The Pallas kernel is measured SLOWER than the XLA lowering of the
+        # same normal form on v5e (in-VMEM relayouts around the per-chunk
+        # matmuls dominate); it is kept behind this env knob for kernel
+        # development — SISR_FUSED_SCC_MIN_WIN=32 enables it for windows>=32.
+        import os
+        min_win = int(os.environ.get("SISR_FUSED_SCC_MIN_WIN", "100000"))
+        use_pallas = (jax.default_backend() == "tpu" and ww % 8 == 0
+                      and wh % 8 == 0 and min(wh, ww) >= min_win
+                      and not dropout_active)
+        if dropout_active:
+            out6 = self._reference_with_dropout(
+                x6, w1, w2, bb, pmat, pb, mask, bias.astype(self.dtype), heads,
+                deterministic)
+        else:
+            out6 = fused_scc(x6, w1, w2, bb, pmat, pb, mask,
+                             bias.astype(self.dtype), heads, use_pallas)
+        out = out6.reshape(b, hp, wp, c)
 
-        out = jnp.concatenate([x_spatial, x_channel], axis=-1)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, name="proj_dropout")(out, deterministic=deterministic)
+
+    def _reference_with_dropout(self, x6, w1, w2, bb, pmat, pb, mask, bias,
+                                heads, deterministic):
+        """scc_reference with value dropout on v_pool / v (reference :506,534)."""
+        b, nwh, wh, nww, ww, c = x6.shape
+        half = c // 2
+        l_full = wh * ww
+        d = half // heads
+        xw = x6.transpose(0, 1, 3, 2, 4, 5).reshape(-1, l_full, c)
+        q, v = xw[..., :half], xw[..., half:]
+        k = q @ w1 + v @ w2 + bb
+        k_pool = jnp.einsum("ml,blc->bmc", pmat, k) + pb[0, 0]
+        v_pool = jnp.einsum("ml,blc->bmc", pmat, v) + pb[0, 0]
+        v_pool = nn.Dropout(self.value_drop, name="value_drop")(
+            v_pool, deterministic=deterministic)
+
+        def big(t):
+            return jnp.tile(t, (1, heads, 1)) * mask
+
+        corr = jnp.einsum("blc,bmc->blm", q, big(k_pool)) / float(d) + bias
+        out_s = jnp.einsum("blm,bmc->blc", corr, big(v_pool))
+        gram = jnp.einsum("blc,bld->bcd", q, k) / float(l_full)
+        v_d = nn.Dropout(self.value_drop, name="value_drop_c")(
+            v, deterministic=deterministic)
+        out_c = jnp.einsum("bld,bcd->blc", v_d, gram)
+        out = jnp.concatenate([out_s, out_c], axis=-1)
+        return out.reshape(b, nwh, nww, wh, ww, c).transpose(0, 1, 3, 2, 4, 5)
 
 
 class DepthwiseConv5x5(nn.Module):
@@ -528,6 +543,48 @@ class RHTB(nn.Module):
         return x + y
 
 
+class NearestConvUp2(nn.Module):
+    """conv3x3(nearest_x2(x)) computed as pixel_shuffle(conv3x3(x, folded)).
+
+    Because nearest upsampling repeats each pixel 2x2, the conv taps that the
+    four output phases (a, b) see collapse onto at most 2x2 distinct source
+    pixels; folding the 3x3 kernel per phase gives one low-resolution conv to
+    4x the channels + a pixel shuffle — identical values (including the
+    zero-padding border), ~4x less activation traffic, and no materialized
+    upsampled map.  Used by the 'nearest+conv' reconstruction head
+    (reference :1252-1255, :1332-1333).  Params match nn.Conv 3x3.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        def fold(w, phase, axis):
+            # combine taps that alias onto the same source pixel per phase
+            rows = [jnp.take(w, i, axis=axis) for i in range(3)]
+            zero = jnp.zeros_like(rows[0])
+            if phase == 0:
+                new = [rows[0], rows[1] + rows[2], zero]
+            else:
+                new = [zero, rows[0] + rows[1], rows[2]]
+            return jnp.stack(new, axis=axis)
+
+        phases = [fold(fold(kernel, a, 0), b, 1) for a in (0, 1) for b in (0, 1)]
+        k_full = jnp.stack(phases, axis=-1).reshape(3, 3, cin, self.features * 4)
+        b_full = jnp.repeat(bias, 4)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k_full.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return pixel_shuffle(y + b_full.astype(self.dtype), 2)
+
+
 class HiTSIR(nn.Module):
     """HiT-SIR-Pro network (reference :1065-1344).  NHWC input in [0,1]."""
 
@@ -625,8 +682,8 @@ class HiTSIR(nn.Module):
             deep = _conv(c, 3, "conv_after_body", dt)(forward_features(shallow))
             y = fuse(deep, shallow)
             y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_before_upsample", dt)(y), 0.01)
-            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_up1", dt)(nearest_upsample(y, 2)), 0.2)
-            y = nn.leaky_relu(_conv(self.num_feat, 3, "conv_up2", dt)(nearest_upsample(y, 2)), 0.2)
+            y = nn.leaky_relu(NearestConvUp2(self.num_feat, dt, name="conv_up1")(y), 0.2)
+            y = nn.leaky_relu(NearestConvUp2(self.num_feat, dt, name="conv_up2")(y), 0.2)
             y = _conv(cin, 3, "conv_last", dt)(
                 nn.leaky_relu(_conv(self.num_feat, 3, "conv_hr", dt)(y), 0.2))
         else:

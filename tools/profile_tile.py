@@ -1,0 +1,77 @@
+"""Per-op TPU profile of the flagship tile forward.
+
+Captures a jax.profiler trace and aggregates device-plane op durations from
+the xplane protobuf (parsed with tensorflow's xplane_pb2 — no tensorboard
+needed).  Prints the top-N ops by total self time.
+"""
+
+import glob
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+
+from sisr_tpu.models.hit_sir_pro import HiTSIR, flagship_config  # noqa: E402
+
+LOGDIR = "/tmp/jaxtrace"
+
+
+def capture():
+    model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 192, 192, 3), np.float32))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    f = jax.jit(lambda v, x: model.apply(v, x).sum())
+    float(f(v, x))  # compile + warm
+    jax.profiler.start_trace(LOGDIR)
+    o = None
+    for _ in range(3):
+        o = f(v, x)
+    float(o)
+    jax.profiler.stop_trace()
+
+
+def analyze(top: int = 40):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"), recursive=True)
+    assert paths, "no trace found"
+    path = max(paths, key=os.path.getmtime)
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        space.ParseFromString(fh.read())
+
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = defaultdict(float)
+        counts = defaultdict(int)
+        for line in plane.lines:
+            # XLA Ops line holds per-op events
+            if "XLA Op" not in line.name and "Steps" in line.name:
+                continue
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                totals[name] += ev.duration_ps / 1e9  # -> ms
+                counts[name] += 1
+        if not totals:
+            continue
+        print(f"== plane: {plane.name} ==", flush=True)
+        grand = sum(totals.values())
+        print(f"total accounted: {grand:.1f} ms over 3 runs", flush=True)
+        for name in sorted(totals, key=lambda k: -totals[k])[:top]:
+            print(f"{totals[name]/3:8.3f} ms  x{counts[name]//3:<4} {name[:110]}",
+                  flush=True)
+        break
+
+
+if __name__ == "__main__":
+    capture()
+    analyze()
