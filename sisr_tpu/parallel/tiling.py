@@ -99,6 +99,81 @@ class TiledSR:
 
         return run
 
+    def _build_sharded(self, h: int, w: int, mesh, axis: str = "tile"):
+        """Multi-chip variant: tiles shard across the mesh ``axis``; each
+        device accumulates a local canvas and one psum blends them (the
+        SURVEY §2e 'spatial-shard' parallelism — embarrassingly parallel,
+        halo only at blend time)."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        s, t, c = self.scale, self.tile, self.chunk
+        n_dev = mesh.shape[axis]
+        pos = self._positions(h, w)
+        # pad positions to n_dev * chunk granularity (duplicates are counted
+        # by the weight map, keeping the average exact)
+        per = -(-len(pos) // (n_dev * c)) * c
+        pad = per * n_dev - len(pos)
+        if pad:
+            pos = np.concatenate([pos, np.repeat(pos[-1:], pad, axis=0)])
+        inv_w = jnp.asarray(self._weight_map(h, w, pos))
+
+        def local_fn(variables, img, pos_local):
+            # pos_local: (1, per, 2) — this device's tile positions
+            out = jnp.zeros((h * s, w * s, 3), dtype=self.out_dtype)
+            # the scan carry becomes device-varying once sharded positions
+            # mix in — mark the replicated zeros accordingly
+            if hasattr(jax.lax, "pcast"):
+                out = jax.lax.pcast(out, (axis,), to="varying")
+
+            def body(acc, yx):
+                patches = jnp.stack([
+                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0), (t, t, 3))
+                    for i in range(c)])
+                sr = self.model_apply(variables, patches).astype(self.out_dtype)
+                for i in range(c):
+                    y, x = yx[i, 0] * s, yx[i, 1] * s
+                    cur = jax.lax.dynamic_slice(acc, (y, x, 0), (t * s, t * s, 3))
+                    acc = jax.lax.dynamic_update_slice(acc, cur + sr[i], (y, x, 0))
+                return acc, None
+
+            out, _ = jax.lax.scan(body, out, pos_local[0].reshape(-1, c, 2))
+            return jax.lax.psum(out, axis)
+
+        sharded = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P())
+
+        pos_arr = jnp.asarray(pos.reshape(n_dev, per, 2))
+
+        @jax.jit
+        def run(variables, img):
+            return sharded(variables, img, pos_arr) * inv_w
+
+        return run
+
+    def sharded_call(self, variables, img: jnp.ndarray, mesh,
+                     axis: str = "tile") -> jnp.ndarray:
+        """Tile-sharded multi-chip inference: img (H, W, 3) -> (H*s, W*s, 3)."""
+        h, w = img.shape[:2]
+        ph = max(0, self.tile - h)
+        pw = max(0, self.tile - w)
+        if ph or pw:
+            mode = "reflect" if (ph < h and pw < w) else "symmetric"
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        hh, ww = img.shape[:2]
+        key = ("sharded", hh, ww, id(mesh))
+        if key not in self._compiled:
+            self._compiled[key] = self._build_sharded(hh, ww, mesh, axis)
+        out = self._compiled[key](variables, img)
+        if ph or pw:
+            out = out[: h * self.scale, : w * self.scale]
+        return out
+
     def __call__(self, variables, img: jnp.ndarray) -> jnp.ndarray:
         """img: (H, W, 3) in [0,1] -> (H*scale, W*scale, 3)."""
         h, w = img.shape[:2]

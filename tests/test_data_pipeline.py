@@ -109,6 +109,28 @@ def test_degradation_bsrgan_shapes_and_range():
         assert lq.std() > 0.01
 
 
+def test_degradation_statistics():
+    """Distribution-level checks over many draws (exact stochastic replay of
+    the reference is impossible — SURVEY.md §7 'stochasticity parity')."""
+    from sisr_tpu.ops.resize import imresize_matlab_np
+
+    rng = random.Random(42)
+    nrng = np.random.default_rng(42)
+    base = np.clip(np.random.default_rng(7).random((280, 300, 3)).astype(np.float32),
+                   0, 1)
+    psnrs = []
+    for _ in range(12):
+        lq, hq = degradation_bsrgan(base, sf=4, lq_patchsize=64, rng=rng, nrng=nrng)
+        clean = imresize_matlab_np(hq, 0.25)
+        mse = float(np.mean((lq - np.clip(clean, 0, 1)) ** 2))
+        psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+    psnrs = np.asarray(psnrs)
+    # degraded patches differ from clean bicubic, but are still related
+    assert psnrs.mean() < 40.0, "degradation too weak"
+    assert psnrs.mean() > 5.0, "degradation destroyed the signal"
+    assert psnrs.std() > 0.1, "no stochastic variety across draws"
+
+
 def test_degradation_too_small_raises():
     with pytest.raises(ValueError):
         degradation_bsrgan(np.zeros((64, 64, 3), np.float32), sf=4, lq_patchsize=64)

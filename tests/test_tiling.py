@@ -61,6 +61,26 @@ def test_tiled_matches_whole_on_exact_tile():
     np.testing.assert_allclose(tiled, whole, atol=1e-5)
 
 
+def test_sharded_tiling_matches_single_device():
+    """Tile-sharded inference on the 8-device CPU mesh must equal the
+    single-device tiled result exactly."""
+    from sisr_tpu.parallel.mesh import make_mesh
+
+    def fake_apply(variables, x):
+        return nearest_upsample(x * 1.5 + variables["b"], 4)
+
+    variables = {"b": jnp.float32(0.125)}
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((70, 53, 3), dtype=np.float32))
+
+    runner = TiledSR(fake_apply, scale=4, tile=32, overlap=8, chunk=1)
+    single = np.asarray(runner(variables, img))
+
+    mesh = make_mesh(min(8, jax.device_count()), axis_name="tile")
+    sharded = np.asarray(runner.sharded_call(variables, img, mesh))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_tiled_small_image_padding():
     """Images smaller than the tile get padded and cropped back."""
     def fake_apply(variables, x):
