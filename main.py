@@ -22,6 +22,14 @@ def main(model_name: str, is_test: bool, **kwargs):
         return hitsir_pro_experiment(is_test, **kwargs)
     if model_name == "hitsir_pro_gan":
         return hitsir_pro_gan_experiment(is_test, **kwargs)
+    if model_name == "unet":
+        from sisr_tpu.experiments.unet_experiment import unet_experiment
+        return unet_experiment(is_test, **{k: v for k, v in kwargs.items()
+                                           if v is not None})
+    if model_name == "dense":
+        from sisr_tpu.experiments.dense_experiment import dense_experiment
+        return dense_experiment(is_test, **{k: v for k, v in kwargs.items()
+                                            if v is not None})
     raise ValueError(f"unknown experiment {model_name!r}")
 
 
