@@ -42,6 +42,8 @@ def main():
     model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init)(rng, jnp.zeros((chunk, tile, tile, 3)))
+    # pre-cast params: saves re-reading 41 MB of f32 weights per tile
+    variables = jax.tree.map(lambda p: p.astype(jnp.bfloat16), variables)
 
     runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
                      overlap=16, chunk=chunk, out_dtype=jnp.float32)

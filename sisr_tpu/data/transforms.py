@@ -15,6 +15,16 @@ import numpy as np
 from PIL import Image
 
 
+def uint2single(img: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [0,1] (KAIR utils_image parity surface)."""
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def single2uint(img: np.ndarray) -> np.ndarray:
+    """float32 [0,1] -> uint8 [0,255], clipped and rounded."""
+    return (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+
+
 def convert_image(img, source: str, target: str) -> np.ndarray:
     """Value-range conversion lattice: pil | [0,255] | [0,1] | [-1,1] | y-channel.
 

@@ -101,6 +101,36 @@ def test_resume_continues_from_checkpoint(ran_experiment):
     assert rows[1].startswith("epoch:00002")
 
 
+def test_interrupted_eval_repair(ran_experiment):
+    """If the loss log is one epoch ahead of the metric log (training was
+    killed mid-eval), run() backfills the missing eval before training
+    (reference experiment.py:826-833)."""
+    _, root = ran_experiment
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    logs = root / "logs" / folder
+    metrics_path = logs / "psnr_ssim_lpips_log.txt"
+    saved = metrics_path.read_text()
+    try:
+        # simulate the interruption: drop the last epoch's metric row
+        rows = saved.splitlines()
+        metrics_path.write_text("\n".join(rows[:-1]) + ("\n" if rows[:-1] else ""))
+        cwd = os.getcwd()
+        os.chdir(root)
+        try:
+            exp = hitsir_pro_experiment(is_test=False, epochs=len(rows),
+                                        run=False, **TINY_KW)
+            assert exp.start_epoch - 2 == len(exp.psnr_ssim_lpips_log)
+            exp.run()
+        finally:
+            os.chdir(cwd)
+        repaired = metrics_path.read_text().splitlines()
+        assert len(repaired) >= len(rows)
+        assert repaired[len(rows) - 1].startswith(f"epoch:{len(rows):05d}")
+    finally:
+        metrics_path.write_text(saved)
+
+
 def test_test_stage_outputs(ran_experiment):
     _, root = ran_experiment
     cwd = os.getcwd()
