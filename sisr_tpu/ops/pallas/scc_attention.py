@@ -87,13 +87,13 @@ def scc_reference(x, w1, w2, bb, pmat, pb, mask, bias, heads: int):
 # pallas kernel
 # ---------------------------------------------------------------------------
 
-def _scc_kernel(x_ref, w1_ref, w2_ref, bb_ref, pmat_ref, pb_ref, mask_ref,
-                bias_ref, o_ref, *, heads: int, chunk: int):
+def _scc_kernel(x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
+                maskT_ref, bias_ref, o_ref, *, heads: int, chunk: int):
     wh, ww, c = x_ref.shape[1:]
     half = c // 2
     l_full = wh * ww
     d = half // heads
-    l_base = pmat_ref.shape[0]
+    l_base = pmatT_ref.shape[1]
     f32 = jnp.float32
 
     X = x_ref[0].reshape(l_full, c)
@@ -102,33 +102,40 @@ def _scc_kernel(x_ref, w1_ref, w2_ref, bb_ref, pmat_ref, pb_ref, mask_ref,
     w1 = w1_ref[...]
     w2 = w2_ref[...]
     bb = bb_ref[0, :]
-    pmat = pmat_ref[...]
+    pmatT = pmatT_ref[...]  # (L, l_base)
 
     n_chunks = l_full // chunk
 
-    # pass 1: k per chunk; accumulate gram and pooled K/V
+    def dotT(a, b):
+        # a^T @ b without materializing the transpose (contract dim 0 of both)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    # pass 1: k per chunk; accumulate gram and pooled K/V (transposed form,
+    # half on the sublane axis, so pass 2 needs no operand transposes)
     gram = jnp.zeros((half, half), f32)
-    k_pool = jnp.zeros((l_base, half), f32)
-    v_pool = jnp.zeros((l_base, half), f32)
+    k_poolT = jnp.zeros((half, l_base), f32)
+    v_poolT = jnp.zeros((half, l_base), f32)
     for i in range(n_chunks):
         sl = slice(i * chunk, (i + 1) * chunk)
         q_c = q[sl]
         v_c = v[sl]
         k_c = (jnp.dot(q_c, w1, preferred_element_type=f32)
                + jnp.dot(v_c, w2, preferred_element_type=f32) + bb)
-        gram += jnp.dot(q_c.T.astype(q_c.dtype), k_c.astype(q_c.dtype),
-                        preferred_element_type=f32)
-        p_c = pmat[:, sl]
-        k_pool += jnp.dot(p_c, k_c.astype(p_c.dtype), preferred_element_type=f32)
-        v_pool += jnp.dot(p_c, v_c, preferred_element_type=f32)
+        k_c = k_c.astype(q_c.dtype)
+        gram += dotT(q_c, k_c)
+        p_c = pmatT[sl].astype(k_c.dtype)  # (chunk, l_base)
+        k_poolT += dotT(k_c, p_c)
+        v_poolT += dotT(v_c, p_c)
     pb = pb_ref[0, 0]
-    k_pool += pb
-    v_pool += pb
-    gram = (gram / float(l_full)).astype(X.dtype)
+    gramT = (gram.T / float(l_full)).astype(X.dtype)
 
-    mask = mask_ref[...]
-    k_big = (jnp.tile(k_pool.astype(X.dtype), (heads, 1)) * mask)
-    v_big = (jnp.tile(v_pool.astype(X.dtype), (heads, 1)) * mask)
+    # K/V in both orientations for pass 2, no in-loop transposes
+    k_bigT = (jnp.tile((k_poolT + pb).astype(X.dtype), (1, heads))
+              * maskT_ref[...])                      # (half, heads*l_base)
+    v_big = (jnp.tile((v_poolT + pb).T.astype(X.dtype), (heads, 1))
+             * mask_ref[...])                        # (heads*l_base, half)
 
     # pass 2: per-chunk correlation + outputs
     rows_per_chunk = chunk // ww
@@ -136,11 +143,10 @@ def _scc_kernel(x_ref, w1_ref, w2_ref, bb_ref, pmat_ref, pb_ref, mask_ref,
         sl = slice(i * chunk, (i + 1) * chunk)
         q_c = q[sl]
         v_c = v[sl]
-        corr = jnp.dot(q_c, k_big.T.astype(q_c.dtype),
-                       preferred_element_type=f32) / float(d)
+        corr = jnp.dot(q_c, k_bigT, preferred_element_type=f32) / float(d)
         corr = (corr + bias_ref[sl].astype(f32)).astype(X.dtype)
         out_s = jnp.dot(corr, v_big, preferred_element_type=f32)
-        out_c = jnp.dot(v_c, gram.T.astype(v_c.dtype), preferred_element_type=f32)
+        out_c = jnp.dot(v_c, gramT, preferred_element_type=f32)
         out = jnp.concatenate([out_s, out_c], axis=-1).astype(o_ref.dtype)
         r0 = i * rows_per_chunk
         o_ref[0, r0:r0 + rows_per_chunk, :, :] = out.reshape(
@@ -162,6 +168,8 @@ def _scc_pallas(x6, w1, w2, bb, pmat, pb, mask, bias, heads: int,
     chunk = _pick_chunk(l_full, ww)
 
     x = x6.reshape(b, nwh * wh, nww * ww, c)
+    pmatT = pmat.T  # (L, l_base): pass-1 rhs orientation, no in-kernel transpose
+    maskT = mask.T
     kernel = functools.partial(_scc_kernel, heads=heads, chunk=chunk)
     out = pl.pallas_call(
         kernel,
@@ -171,16 +179,17 @@ def _scc_pallas(x6, w1, w2, bb, pmat, pb, mask, bias, heads: int,
             pl.BlockSpec(w1.shape, lambda bi, i, j: (0, 0)),
             pl.BlockSpec(w2.shape, lambda bi, i, j: (0, 0)),
             pl.BlockSpec(bb.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(pmat.shape, lambda bi, i, j: (0, 0)),
+            pl.BlockSpec(pmatT.shape, lambda bi, i, j: (0, 0)),
             pl.BlockSpec((1, 1), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(mask.shape, lambda bi, i, j: (0, 0)),
+            pl.BlockSpec(maskT.shape, lambda bi, i, j: (0, 0)),
             pl.BlockSpec(bias.shape, lambda bi, i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, wh, ww, c), lambda bi, i, j: (bi, i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, w1, w2, bb, pmat, pb, mask, bias)
+    )(x, w1, w2, bb, pmatT, pb, mask, maskT, bias)
     return out.reshape(b, nwh, wh, nww, ww, c)
 
 
