@@ -332,11 +332,13 @@ class Experiment:
     def train(self):
         self.epoch_loss.reset()
         self.train_start_time = time.time()
+        from sisr_tpu.data.prefetch import device_prefetch
+
         for li, loader in enumerate(self.train_loaders):
-            it = loader
+            it = device_prefetch(loader, size=2)
             if self.progress:
                 from tqdm import tqdm
-                it = tqdm(loader, total=len(loader),
+                it = tqdm(it, total=len(loader),
                           desc=f"train_epoch {self.start_epoch}/"
                                f"{self.model_config.epochs}, data: {loader.name}")
             for lr_imgs, hr_imgs, _ in it:

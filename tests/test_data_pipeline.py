@@ -154,6 +154,20 @@ def test_dataset_eval_items(image_dir):
     assert hr.shape[1] == lr.shape[1] * 4
 
 
+def test_device_prefetch_passthrough():
+    from sisr_tpu.data.prefetch import device_prefetch
+
+    items = [(np.ones((2, 4, 4, 3), np.float32) * i,
+              np.ones((2, 8, 8, 3), np.float32) * i,
+              ([f"n{i}"], ["png"])) for i in range(5)]
+    out = list(device_prefetch(iter(items), size=2))
+    assert len(out) == 5
+    for i, (lr, hr, names) in enumerate(out):
+        assert float(np.asarray(lr).mean()) == i
+        assert names == ([f"n{i}"], ["png"])
+        assert hasattr(lr, "devices") or hasattr(lr, "device")  # on device
+
+
 @pytest.mark.parametrize("workers", [0, 2])
 def test_dataloader_batches(image_dir, workers):
     cfg = DatasetConfig(split="train", crop_size=64, scaling_factor=4)
