@@ -81,6 +81,29 @@ def test_sharded_tiling_matches_single_device():
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
+def test_overlap_blend_seam_quality():
+    """Tiled-with-overlap output of a real window-attention model must stay
+    close to the whole-image forward (seams only at blend boundaries)."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+    from sisr_tpu.ops.metrics import psnr
+
+    model = HiTSIR(is_mult_size_conv_feat_extract=False, is_channel_spatial_attn=False,
+                   is_fusion=False, embed_dim=16, depths=(2,), num_heads=(2,),
+                   base_win_size=(4, 4), mlp_ratio=1.0, upsampler="pixelshuffledirect",
+                   upscale=4, hier_win_ratios=(1, 2))
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((40, 40, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[None])
+
+    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=16, overlap=4)
+    tiled = np.asarray(runner(variables, img))
+    whole = np.asarray(model.apply(variables, img[None])[0])
+    # different window context at tile borders -> bounded differences (a
+    # random-init model maximizes context sensitivity; trained models seam
+    # far less)
+    assert psnr(tiled, whole, data_range=float(whole.max() - whole.min())) > 25.0
+
+
 def test_tiled_small_image_padding():
     """Images smaller than the tile get padded and cropped back."""
     def fake_apply(variables, x):
