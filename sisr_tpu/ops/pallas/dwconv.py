@@ -42,25 +42,33 @@ def _channel_tile(c: int) -> int:
 
 
 def _row_tile(h: int) -> int:
-    # 32 rows x 196 cols x 128 lanes keeps (in + out) x double-buffer + f32
-    # accumulator inside the 16 MB VMEM budget
-    for th in (32, 24, 16, 8, 4, 2, 1):
+    # 16 rows keeps input + K materialized column shifts + f32 accumulator +
+    # double-buffered in/out inside the 16 MB VMEM budget
+    for th in (16, 8, 4, 2, 1):
         if h % th == 0:
             return th
     return h
 
 
 def _dwconv_kernel(x_ref, w_ref, b_ref, o_ref):
-    """x (1,1,1,TH+4,W+4,CT), w (1,K,K,CT), b (1,1,CT) -> o (1,1,1,TH,W,CT)."""
+    """x (1,1,1,TH+4,W+4,CT), w (1,K,K,CT), b (1,1,CT) -> o (1,1,1,TH,W,CT).
+
+    Two-stage tap structure: W rides the sublane axis, so column slices are
+    unaligned relayouts — materialize the K column shifts ONCE, then the
+    K row shifts per column are slices of the leading (untiled) dim, free.
+    25 unaligned slices -> 5.
+    """
     th = o_ref.shape[3]
     wd = o_ref.shape[4]
-    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    x = x_ref[0, 0, 0]  # (TH+4, W+4, CT)
+    cols = [x[:, j:j + wd, :] for j in range(K)]  # K unaligned shifts, once
+    acc = jnp.zeros((th, wd, o_ref.shape[5]), jnp.float32)
     for i in range(K):
         for j in range(K):
-            tap = x_ref[:, :, :, i:i + th, j:j + wd, :].astype(jnp.float32)
+            tap = cols[j][i:i + th].astype(jnp.float32)
             acc += tap * w_ref[0, i, j, :].astype(jnp.float32)
     acc += b_ref[0, 0, :].astype(jnp.float32)
-    o_ref[:] = acc.astype(o_ref.dtype)
+    o_ref[0, 0, 0] = acc.astype(o_ref.dtype)
 
 
 def _dwconv_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
