@@ -8,8 +8,8 @@ distribution-level parity to the pipeline the reference imports from KAIR
   * a random shuffle of 7 stages with the constraint that the rescale stage
     (idx 2) precedes the final-downsample stage (idx 3):
       0,1: Gaussian blur (anisotropic rotated / isotropic, random size+width)
-      2:   random rescale by a factor in [0.5/sf, 2] (up prob .2 / down .7)
-           — or, with prob .25, shifted-kernel blur + nearest ::sf decimation
+      2:   with prob .75, random-interp downscale by a factor U[1, 2*sf];
+           otherwise shifted-kernel blur + nearest ::sf decimation
       3:   resize to exactly 1/sf of the pre-stage-2 size
       4:   Gaussian noise — color (p>.6) / grayscale (p<.4) / channel-correlated
       5:   JPEG recompress, prob 0.9, quality U[30, 95]

@@ -81,13 +81,15 @@ class ImageTransforms:
                 "crop size must divide the scaling factor"
         assert img_type in {"[0,255]", "[0,1]", "[-1,1]"}
 
-    def __call__(self, img: Image.Image, box: Optional[Tuple[int, int, int, int]] = None):
+    def __call__(self, img: Image.Image, box: Optional[Tuple[int, int, int, int]] = None,
+                 rng: Optional[random.Random] = None):
+        r = rng or random
         if self.split == "train":
             assert img.width >= self.crop_size and img.height >= self.crop_size, \
                 "image smaller than crop size"
             if box is None:
-                left = random.randint(0, img.width - self.crop_size)
-                top = random.randint(0, img.height - self.crop_size)
+                left = r.randint(0, img.width - self.crop_size)
+                top = r.randint(0, img.height - self.crop_size)
                 box = (left, top, left + self.crop_size, top + self.crop_size)
             result = img.crop(box)
         else:

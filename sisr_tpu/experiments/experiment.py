@@ -141,11 +141,14 @@ class Experiment:
             model = LPIPSVgg()
 
             def compute(a_y: np.ndarray, b_y: np.ndarray) -> float:
-                # reference quirk (experiment.py:469): LPIPS is fed the
-                # (1,h,w) Y image, broadcast across RGB by the scaling layer
+                # reference quirks (experiment.py:469): LPIPS is fed the
+                # (1,h,w) Y image, broadcast across RGB by the scaling layer,
+                # AND with lpips.LPIPS's default normalize=False — the [0,1]
+                # image is treated as if already in [-1,1]
                 a = jnp.asarray(a_y)[None, :, :, None].repeat(3, -1)
                 b = jnp.asarray(b_y)[None, :, :, None].repeat(3, -1)
-                return float(model.apply({"params": variables["params"]}, a, b)[0])
+                return float(model.apply({"params": variables["params"]}, a, b,
+                                         normalize=False)[0])
 
             return compute
         return None
@@ -153,9 +156,12 @@ class Experiment:
     def init_data_loaders(self, is_shuffle: bool = True):
         mc = self.model_config
         for i, path in enumerate(mc.train_data_path_list):
-            dataset = SRDataset(self.train_data_config, path)
+            # per-set seed: augmentation/degradation randomness becomes a pure
+            # function of (seed, epoch, index) — reproducible across threads
+            dataset = SRDataset(self.train_data_config, path, seed=1009 + i)
             loader = DataLoader(dataset, batch_size=mc.batch_size, shuffle=is_shuffle,
-                                drop_last=True, name=mc.train_data_name_list[i])
+                                drop_last=True, seed=i,
+                                name=mc.train_data_name_list[i])
             self.train_loaders.append(loader)
         for i, path in enumerate(mc.eval_data_path_list):
             dataset = SRDataset(self.eval_data_config, path)

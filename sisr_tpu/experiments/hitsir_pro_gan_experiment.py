@@ -102,6 +102,12 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
                 loaded["model"],
                 loaded["optimizer"] if loaded["optimizer"] is not None
                 else self.d_state.opt_state)
+            if loaded["extra"].get("spectral"):
+                # restore power-iteration u/v so sigma estimates survive
+                # resume (torch persists weight_u/weight_v in the state_dict)
+                from flax import serialization
+                self.d_collections = {"spectral": serialization.from_state_dict(
+                    self.d_collections["spectral"], loaded["extra"]["spectral"])}
             self.start_epoch = loaded["start_epoch"] + 1
             print(f"loaded discriminator, trained epochs: {self.start_epoch - 1}")
         super().load_model_weights_scheduler(is_gan_start=self.start_epoch == 1)
@@ -134,9 +140,10 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
 
     def train_dataloader_process(self):
         super().train_dataloader_process()
-        self.save_model_weights(
-            self.discriminator_pretrain_model_path,
-            params=self.d_state.params, opt_state=self.d_state.opt_state)
+        ckpt.save_checkpoint(
+            self.discriminator_pretrain_model_path, self.start_epoch,
+            self.d_state.params, self.d_state.opt_state,
+            extra={"spectral": self.d_collections["spectral"]})
         self.loss_log[-1].append(f"d_loss:{self.epoch_discriminator_loss.avg}")
         self.lr_log[-1] = (
             f"epoch:{self.start_epoch + 1},"

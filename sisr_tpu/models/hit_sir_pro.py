@@ -157,52 +157,66 @@ class Fusion(nn.Module):
         return a * jax.nn.sigmoid(a_att * gate) + b * jax.nn.sigmoid(b_att * (1.0 - gate))
 
 
-class MapConv3x3(nn.Module):
-    """3x3 conv from ONE channel to ``features``, computed as an im2col
-    matmul.  XLA's conv lowering for C_in=1 on TPU pads the single input
-    channel to the full lane width per spatial position — measured ~1.6 ms
-    per block inside SpatialChannelAttention; the (L, 9) @ (9, C) matmul
-    formulation avoids that.  Params match nn.Conv ((3,3,1,C) kernel)."""
+class MapConvParams(nn.Module):
+    """3x3 one-channel-in conv parameter container (nn.Conv names/shapes)."""
 
     features: int
-    dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, m: jnp.ndarray) -> jnp.ndarray:
-        """m: (B, H, W) single-channel map -> (B, H, W, features)."""
+    def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        b, h, w = m.shape
-        mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
-        patches = jnp.stack(
-            [mp[:, i:i + h, j:j + w] for i in range(3) for j in range(3)], axis=-1)
-        wmat = kernel.reshape(9, self.features).astype(self.dtype)
-        return patches.astype(self.dtype) @ wmat + bias.astype(self.dtype)
+        return kernel, bias
+
+
+class SCAParams(nn.Module):
+    """SpatialChannelAttention parameters (reference :317-359) with the exact
+    flax tree of the previous module (`qkv/linear1/kernel`, ...)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        l1 = MapConvParams(c, name="linear1")()
+        l2 = MapConvParams(c, name="linear2")()
+        se = (LinearParams(c, c // 10, name="linear1_first")(),
+              LinearParams(c // 10, c, name="linear1_second")(),
+              LinearParams(c, c // 10, name="linear2_first")(),
+              LinearParams(c // 10, c, name="linear2_second")())
+        return l1, l2, se
 
 
 class SpatialChannelAttention(nn.Module):
-    """QKV pre-attention mixing channel + spatial statistics (reference :317-359)."""
+    """QKV pre-attention mixing channel + spatial statistics (reference
+    :317-359), module form (used standalone by e.g. models/dense_sr.py; the
+    HiT-SIR hot path fuses the same math into the SCC Pallas kernel)."""
 
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sisr_tpu.ops.pallas.scc_block import sca_reference
+
         c = self.dim
-        ch_avg = x.mean(axis=-1)  # (B,H,W)
-        ch_max = x.max(axis=-1)
-        attn_c1 = nn.leaky_relu(MapConv3x3(c, self.dtype, name="linear1")(ch_avg), 0.2)
-        attn_c2 = nn.leaky_relu(MapConv3x3(c, self.dtype, name="linear2")(ch_max), 0.2)
+        dt = self.dtype
+        l1k, l1b = MapConvParams(c, name="linear1")()
+        l2k, l2b = MapConvParams(c, name="linear2")()
+        se = (LinearParams(c, c // 10, name="linear1_first")(),
+              LinearParams(c // 10, c, name="linear1_second")(),
+              LinearParams(c, c // 10, name="linear2_first")(),
+              LinearParams(c // 10, c, name="linear2_second")())
 
-        sp_avg = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
-        sp_max = x.max(axis=(1, 2), keepdims=True)
-        attn_s1 = nn.Dense(c, dtype=self.dtype, name="linear1_second")(
-            nn.Dense(c // 10, dtype=self.dtype, name="linear1_first")(sp_avg))
-        attn_s2 = nn.Dense(c, dtype=self.dtype, name="linear2_second")(
-            nn.Dense(c // 10, dtype=self.dtype, name="linear2_first")(sp_max))
+        def dense(t, kb):
+            return t.astype(dt) @ kb[0].astype(dt) + kb[1].astype(dt)
 
-        return (attn_c1 * attn_s1 + attn_c2 * attn_s2) / 2.0 + x
+        s1 = dense(dense(x.mean(axis=(1, 2), keepdims=True), se[0]), se[1])
+        s2 = dense(dense(x.max(axis=(1, 2), keepdims=True), se[2]), se[3])
+        return sca_reference(x.astype(dt), l1k.reshape(9, c).astype(dt),
+                             l1b.astype(dt), l2k.reshape(9, c).astype(dt),
+                             l2b.astype(dt), s1, s2)
 
 
 class DynamicPosBias(nn.Module):
@@ -320,13 +334,25 @@ class SCC(nn.Module):
         l_base = bh * bw
         rh, rw = wh // bh, ww // bw  # pooling block extent
 
-        if self.is_channel_spatial_attn:
-            qkv = SpatialChannelAttention(c, self.dtype, name="qkv")(x)
-        else:
-            qkv = x
-
         from sisr_tpu.ops.pallas.scc_attention import (
-            blockdiag_kgen, fused_scc, head_mask, pooling_matrix, scc_reference)
+            blockdiag_kgen, head_mask, pooling_matrix)
+        from sisr_tpu.ops.pallas.scc_block import sca_reference, scc_block
+
+        dt = self.dtype
+        sca = None
+        if self.is_channel_spatial_attn:
+            (l1k, l1b), (l2k, l2b), se = SCAParams(c, name="qkv")()
+            (f1, s1d), (f2, s2d) = (se[0], se[1]), (se[2], se[3])
+
+            def dense(t, kb):
+                return t.astype(dt) @ kb[0].astype(dt) + kb[1].astype(dt)
+
+            sp_avg = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
+            sp_max = x.max(axis=(1, 2), keepdims=True)
+            s1 = dense(dense(sp_avg, f1), s1d)
+            s2 = dense(dense(sp_max, f2), s2d)
+            sca = (l1k.reshape(9, c).astype(dt), l1b.astype(dt),
+                   l2k.reshape(9, c).astype(dt), l2b.astype(dt), s1, s2)
 
         k1_kernel, k1_bias = LinearParams(d, d, name="k_generate1")()
         k2_kernel, k2_bias = LinearParams(d, d, name="k_generate2")()
@@ -362,29 +388,27 @@ class SCC(nn.Module):
         pmat, pb = pooling_matrix(pool_kernel, pool_bias, wh, ww, bh, bw, self.dtype)
         mask = head_mask(heads, l_base, c // 2, self.dtype)
 
-        x6 = qkv.reshape(b, hp // wh, wh, wp // ww, ww, c)
-        dropout_active = self.value_drop > 0.0 and not deterministic
-        # Mosaic needs the block's second-minor dim (ww) to be a multiple of
-        # 8; smaller windows and dropout-mode training use the jnp reference.
-        # The Pallas kernel is measured SLOWER than the XLA lowering of the
-        # same normal form on v5e (in-VMEM relayouts around the per-chunk
-        # matmuls dominate); it is kept behind this env knob for kernel
-        # development — SISR_FUSED_SCC_MIN_WIN=32 enables it for windows>=32.
-        import os
-        min_win = int(os.environ.get("SISR_FUSED_SCC_MIN_WIN", "100000"))
-        use_pallas = (jax.default_backend() == "tpu" and ww % 8 == 0
-                      and wh % 8 == 0 and min(wh, ww) >= min_win
-                      and not dropout_active)
-        if dropout_active:
-            out6 = self._reference_with_dropout(
-                x6, w1, w2, bb, pmat, pb, mask, bias.astype(self.dtype), heads,
-                deterministic)
-        else:
-            out6 = fused_scc(x6, w1, w2, bb, pmat, pb, mask,
-                             bias.astype(self.dtype), heads, use_pallas)
-        out = out6.reshape(b, hp, wp, c)
+        proj_k, proj_b = LinearParams(c, c, name="proj")()
 
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        dropout_active = self.value_drop > 0.0 and not deterministic
+        if dropout_active:
+            qkv = sca_reference(x, *sca) if sca is not None else x
+            x6 = qkv.reshape(b, hp // wh, wh, wp // ww, ww, c)
+            out6 = self._reference_with_dropout(
+                x6, w1, w2, bb, pmat, pb, mask, bias.astype(dt), heads,
+                deterministic)
+            out = out6.reshape(b, hp, wp, c).astype(dt)
+            out = out @ proj_k.astype(dt) + proj_b.astype(dt)
+        else:
+            # Mosaic needs the block's second-minor dim to be a multiple of
+            # 8; the ladder's 4x4-window blocks use the jnp reference.
+            import os
+            use_pallas = (jax.default_backend() == "tpu" and ww % 8 == 0
+                          and wh % 8 == 0
+                          and os.environ.get("SISR_FUSED_SCC", "1") == "1")
+            out = scc_block(x, sca, w1, w2, bb, pmat, pb, mask,
+                            bias.astype(dt), proj_k.astype(dt),
+                            proj_b.astype(dt), heads, (wh, ww), use_pallas)
         return nn.Dropout(self.proj_drop, name="proj_dropout")(out, deterministic=deterministic)
 
     def _reference_with_dropout(self, x6, w1, w2, bb, pmat, pb, mask, bias,
@@ -415,52 +439,46 @@ class SCC(nn.Module):
         return out.reshape(b, nwh, nww, wh, ww, c).transpose(0, 1, 3, 2, 4, 5)
 
 
-class DepthwiseConv5x5(nn.Module):
-    """5x5 depthwise conv; Pallas kernel on TPU, XLA grouped conv elsewhere.
-
-    XLA's grouped-conv lowering pads each 1-channel group to the 128-lane
-    width (~3.4 GB HBM read per 192^2 tile per block — the dominant cost of
-    the whole model); the Pallas kernel reads activations once.  Param
-    names/shapes match nn.Conv (kernel (5,5,1,C), bias (C,)) so torch
-    checkpoints convert unchanged.
-    """
+class LayerNormParams(nn.Module):
+    """LayerNorm parameter container (scale/bias names match nn.LayerNorm)."""
 
     features: int
-    dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from sisr_tpu.ops.pallas.dwconv import dwconv5x5
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
 
+
+class DepthwiseParams(nn.Module):
+    """Depthwise-conv parameter container; kernel (5,5,1,C) + bias (C,)
+    match nn.Conv so torch checkpoints convert unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (5, 5, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # measured on v5e: XLA's grouped-conv lowering is the fastest path
-        # (0.24 ms vs 0.97 ms for the Pallas kernel at 192x192x360) — keep the
-        # kernel available behind the flag for other shapes/backends.
-        return dwconv5x5(x.astype(self.dtype),
-                         kernel[:, :, 0, :].astype(self.dtype),
-                         bias.astype(self.dtype), False)
+        return kernel, bias
 
 
-class ConvFFN(nn.Module):
-    """FFN with a 5x5 depthwise-conv residual inside (reference :12-46)."""
+class FFNParams(nn.Module):
+    """ConvFFN parameters (reference :12-46): fc1 / dwconv / fc2, with the
+    exact flax tree (`mlp/fc1/kernel`, ...) of the previous nn.Dense-based
+    module so checkpoints and the torch converter are unchanged."""
 
+    dim: int
     hidden: int
-    out: int
-    drop: float = 0.0
-    dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        # x: (B, H, W, C)
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = _gelu(x)
-        dw = DepthwiseConv5x5(self.hidden, self.dtype, name="dwconv")(x)
-        x = x + _gelu(dw)
-        x = nn.Dropout(self.drop, name="drop1")(x, deterministic=deterministic)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
-        return nn.Dropout(self.drop, name="drop2")(x, deterministic=deterministic)
+    def __call__(self):
+        fc1 = LinearParams(self.dim, self.hidden, name="fc1")()
+        dw = DepthwiseParams(self.hidden, name="dwconv")()
+        fc2 = LinearParams(self.hidden, self.dim, name="fc2")()
+        return fc1, dw, fc2
 
 
 class HierarchicalTransformerBlock(nn.Module):
@@ -482,7 +500,11 @@ class HierarchicalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from sisr_tpu.ops.pallas.dwconv import depthwise_conv_reference
+        from sisr_tpu.ops.pallas.ffn import htb_tail, layer_norm, supports_shape
+
         b, h, w, c = x.shape
+        dt = self.dtype
         shortcut = x
         xp = pad_to_multiple(x, self.window_size)  # reflect (reference :664-674)
         xp = SCC(
@@ -496,12 +518,35 @@ class HierarchicalTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="correlation",
         )(xp, deterministic=deterministic)
-        x = xp[:, :h, :w, :]
-        x = _layer_norm("norm1", self.dtype)(x)
-        x = shortcut + x
-        y = ConvFFN(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                    self.dtype, name="mlp")(x, deterministic=deterministic)
-        return x + _layer_norm("norm2", self.dtype)(y)
+        attn = xp[:, :h, :w, :]
+
+        ln1_s, ln1_b = LayerNormParams(self.dim, name="norm1")()
+        hidden = int(self.dim * self.mlp_ratio)
+        (fc1_k, fc1_b), (dw_k, dw_b), (fc2_k, fc2_b) = FFNParams(
+            self.dim, hidden, name="mlp")()
+        ln2_s, ln2_b = LayerNormParams(self.dim, name="norm2")()
+
+        dropout_active = self.drop > 0.0 and not deterministic
+        if dropout_active:
+            # functional composition with the two dropouts (reference :225-232)
+            xr = shortcut + layer_norm(attn, ln1_s.astype(dt), ln1_b.astype(dt))
+            hh = _gelu(xr @ fc1_k.astype(dt) + fc1_b.astype(dt))
+            hh = hh + _gelu(depthwise_conv_reference(
+                hh, dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt)))
+            hh = nn.Dropout(self.drop, name="drop1")(hh, deterministic=deterministic)
+            y = hh @ fc2_k.astype(dt) + fc2_b.astype(dt)
+            y = nn.Dropout(self.drop, name="drop2")(y, deterministic=deterministic)
+            return xr + layer_norm(y, ln2_s.astype(dt), ln2_b.astype(dt))
+
+        import os
+        use_pallas = (jax.default_backend() == "tpu" and supports_shape(h)
+                      and os.environ.get("SISR_FUSED_FFN", "1") == "1")
+        return htb_tail(attn, shortcut,
+                        ln1_s.astype(dt), ln1_b.astype(dt),
+                        fc1_k.astype(dt), fc1_b.astype(dt),
+                        dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt),
+                        fc2_k.astype(dt), fc2_b.astype(dt),
+                        ln2_s.astype(dt), ln2_b.astype(dt), use_pallas)
 
 
 class RHTB(nn.Module):

@@ -1,0 +1,220 @@
+"""Fused HTB-tail Pallas kernel: LN1 + residual + ConvFFN + LN2 + residual.
+
+The post-attention part of every HierarchicalTransformerBlock
+(reference models/hit_sir_pro.py:696-704 with the ConvFFN of :12-46,208-233):
+
+    x   = shortcut + LN1(attn)
+    h   = gelu(x @ W1 + b1)
+    h2  = h + gelu(dwconv5x5(h))
+    y   = h2 @ W2 + b2
+    out = x + LN2(y)
+
+Lowered through XLA this subsystem costs ~26 ms of the 73.9 ms flagship tile
+(profiled on v5e): the 5x5 depthwise conv lowering alone is 15.3 ms (XLA pads
+each 1-channel group to the 128-lane width) and the 2x-wide hidden
+activations bounce through HBM between each elementwise stage.  This kernel
+runs the whole chain in VMEM per row band: the only HBM traffic is reading
+``attn``/``shortcut`` once (with a 2-row halo) and writing ``out`` once.
+
+Layout: grid over (batch, row bands).  Row bands carry a 2-row halo so the
+depthwise conv needs no cross-invocation exchange; the halo rows of ``h`` are
+recomputed (fc1 on th+4 rows instead of th: 25% extra fc1 FLOPs at th=16,
+negligible vs the saved memory passes).  Rows outside the image are masked to
+zero before the conv taps, reproducing the conv's zero same-padding.  Column
+halo stays inside the band (bands span the full width).
+
+Backward falls back to ``jax.vjp`` over the identical jnp reference
+(``htb_tail_reference``) — numerically the same function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sisr_tpu.ops.pallas.dwconv import depthwise_conv_reference
+
+K = 5
+PAD = K - 1
+
+
+def _gelu(x):
+    # torch nn.GELU() default = exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _erf_as(z):
+    """Abramowitz & Stegun 7.1.26 erf (abs err <= 1.5e-7 — below bf16
+    resolution).  Mosaic has no erf/erfc lowering, so the kernel uses this."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-az * az)
+    return jnp.sign(z) * y
+
+
+def _gelu_kernel(x):
+    """erf-gelu for inside Pallas kernels; computed in f32."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf_as(xf * 0.7071067811865476))).astype(x.dtype)
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the trailing axis, f32 statistics (flax-compatible
+    fast-variance form), result in x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True) - mean * mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def htb_tail_reference(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
+                       w2, b2, ln2_s, ln2_b):
+    """jnp reference of the fused op (and the backward-pass function).
+
+    attn/shortcut: (B, H, W, C); w1: (C, Ch); dw: (5, 5, Ch); w2: (Ch, C).
+    """
+    dt = attn.dtype
+    x = shortcut + layer_norm(attn, ln1_s, ln1_b)
+    h = _gelu(x @ w1.astype(dt) + b1.astype(dt))
+    h2 = h + _gelu(depthwise_conv_reference(h, dw.astype(dt), dwb.astype(dt)))
+    y = h2 @ w2.astype(dt) + b2.astype(dt)
+    return x + layer_norm(y, ln2_s, ln2_b)
+
+
+def _tail_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, dw_ref,
+                 dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, o_ref,
+                 *, h_img: int, th: int):
+    """Blocks: a/s (1, 1, th+4, W, C); o (1, 1, th, W, C); dw_ref (25, Ch)."""
+    wd = o_ref.shape[3]
+    c = o_ref.shape[4]
+    ch = w1_ref.shape[1]
+    dt = o_ref.dtype
+    f32 = jnp.float32
+
+    a = a_ref[0, 0]
+    s = s_ref[0, 0]
+    x = s + layer_norm(a, ln1s_ref[0], ln1b_ref[0])  # (th+4, W, C)
+
+    lin1 = jnp.dot(x.reshape((th + PAD) * wd, c), w1_ref[...],
+                   preferred_element_type=f32) + b1_ref[0].astype(f32)
+    h = _gelu_kernel(lin1).astype(dt).reshape(th + PAD, wd, ch)
+
+    # rows outside the image are the conv's zero padding, NOT gelu(fc1(0))
+    base = pl.program_id(1) * th - PAD // 2
+    row = base + jax.lax.broadcasted_iota(jnp.int32, (th + PAD, 1, 1), 0)
+    valid = jnp.logical_and(row >= 0, row < h_img)
+    hm = jnp.where(valid, h, jnp.zeros_like(h))
+    hp = jnp.pad(hm, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
+
+    # materialize the K column shifts once (unaligned sublane relayouts);
+    # row shifts are then free slices of the leading dim — 5 relayouts, not 25
+    cols = [hp[:, j:j + wd, :] for j in range(K)]
+    acc = jnp.zeros((th, wd, ch), f32)
+    for i in range(K):
+        for j in range(K):
+            acc += (cols[j][i:i + th].astype(f32)
+                    * dw_ref[i * K + j, :].astype(f32))
+    dwout = (acc + dwb_ref[0].astype(f32)).astype(dt)
+
+    h2 = h[PAD // 2:PAD // 2 + th] + _gelu_kernel(dwout)
+    y = (jnp.dot(h2.reshape(th * wd, ch), w2_ref[...],
+                 preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
+    out = x[PAD // 2:PAD // 2 + th] + layer_norm(y.reshape(th, wd, c),
+                                                 ln2s_ref[0], ln2b_ref[0])
+    o_ref[0, 0] = out.astype(dt)
+
+
+def _pick_row_tile(h: int) -> int:
+    # th=16 exceeds the 16 MB scoped-VMEM limit at (192, 360) hidden widths;
+    # 8 fits with double-buffered in/out blocks.
+    for th in (8, 4):
+        if h % th == 0:
+            return th
+    return 0
+
+
+def _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                     ln2_s, ln2_b, interpret: bool = False):
+    b, h, wd, c = attn.shape
+    ch = w1.shape[1]
+    th = _pick_row_tile(h)
+    assert th, f"no row tile for H={h}"
+    nb = h // th
+
+    def overlap(t):
+        tp = jnp.pad(t, ((0, 0), (PAD // 2, PAD // 2), (0, 0), (0, 0)))
+        bands = [tp[:, r * th:r * th + th + PAD] for r in range(nb)]
+        return jnp.stack(bands, axis=1)  # (B, nb, th+4, W, C)
+
+    kernel = functools.partial(_tail_kernel, h_img=h, th=th)
+    const = lambda bi, ri: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, th + PAD, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((1, 1, th + PAD, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((c, ch), const),
+            pl.BlockSpec((1, ch), const),
+            pl.BlockSpec((K * K, ch), const),
+            pl.BlockSpec((1, ch), const),
+            pl.BlockSpec((ch, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, wd, c),
+                               lambda bi, ri: (bi, ri, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nb, th, wd, c), attn.dtype),
+        interpret=interpret,
+    )(overlap(attn), overlap(shortcut),
+      ln1_s.reshape(1, c), ln1_b.reshape(1, c),
+      w1, b1.reshape(1, ch), dw.reshape(K * K, ch), dwb.reshape(1, ch),
+      w2, b2.reshape(1, c), ln2_s.reshape(1, c), ln2_b.reshape(1, c))
+    return out.reshape(b, h, wd, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+def htb_tail(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+             ln2_s, ln2_b, use_pallas: bool):
+    """Fused HTB tail; see module docstring.  ``use_pallas=False`` runs the
+    XLA composition (CPU tests, parity oracle, backward pass)."""
+    if use_pallas:
+        return _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
+                                w2, b2, ln2_s, ln2_b)
+    return htb_tail_reference(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
+                              w2, b2, ln2_s, ln2_b)
+
+
+def _htb_tail_fwd(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                  ln2_s, ln2_b, use_pallas):
+    out = htb_tail(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                   ln2_s, ln2_b, use_pallas)
+    return out, (attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                 ln2_s, ln2_b)
+
+
+def _htb_tail_bwd(use_pallas, res, dy):
+    _, vjp = jax.vjp(htb_tail_reference, *res)
+    return vjp(dy)
+
+
+htb_tail.defvjp(_htb_tail_fwd, _htb_tail_bwd)
+
+
+def supports_shape(h: int) -> bool:
+    """Whether the kernel's row banding divides this image height."""
+    return _pick_row_tile(h) > 0

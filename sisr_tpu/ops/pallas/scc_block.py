@@ -1,0 +1,273 @@
+"""Fused SCA + SCC + projection window-attention kernel (Pallas TPU).
+
+One kernel invocation per attention window computes the whole attention
+subsystem of a HierarchicalTransformerBlock (reference
+models/hit_sir_pro.py:317-359 SpatialChannelAttention, :362-602 SCC):
+
+    SCA:  qkv = (leaky(conv3x3(ch_avg))*s1 + leaky(conv3x3(ch_max))*s2)/2 + x
+    SCC:  q/v split -> k synthesis -> learned pooling -> S-SC (+pos bias)
+          -> C-SC channel gram
+    proj: out = [out_s | out_c] @ P + b   (folded as out_s@P1 + out_c@P2)
+
+Everything between reading the block input ``x`` and writing the projected
+attention output stays in VMEM.  Lowered through XLA the same pipeline costs
+~27 ms of the 73.9 ms flagship tile (measured v5e): the (windows, L, C)
+tensors bounce through HBM between C-minor elementwise layouts and L-minor
+matmul layouts, the C/2=90 q/v split relayouts the whole array, and the
+window partition/reverse transposes copy it twice more.  Here the window
+gather/scatter is the BlockSpec index map (free), the q/v split happens once
+per window in VMEM, and the correlation matrices never touch HBM.
+
+The per-window pipeline uses the algebraic normal form of
+``sisr_tpu.ops.pallas.scc_attention`` (block-diagonal k-gen, pooling matrix,
+head-tiled masked K/V, relative-position bias table streamed in).  The
+squeeze-excite vectors s1/s2 (global spatial pooling + two tiny Dense) are
+computed outside — they need a global reduction over the tile.
+
+Backward falls back to ``jax.vjp`` over the identical jnp reference
+(``scc_block_reference``).  Windows with wh or ww not multiples of 8 (the
+hierarchical ladder's 4x4 windows) use the reference path — Mosaic requires
+8-aligned second-minor block dims.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sisr_tpu.ops.pallas.scc_attention import scc_reference
+
+
+def _conv_patches(m: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) map -> (B, H, W, 9) zero-padded 3x3 im2col patches, taps in
+    row-major order (matches the (3,3,1,C) kernel reshape to (9, C))."""
+    b, h, w = m.shape
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+    return jnp.stack([mp[:, i:i + h, j:j + w]
+                      for i in range(3) for j in range(3)], axis=-1)
+
+
+def sca_reference(x, w9a, b9a, w9m, b9m, s1, s2):
+    """SpatialChannelAttention (reference :317-359) with precomputed
+    squeeze-excite vectors.  x: (B,H,W,C); w9*: (9, C); s1/s2: (B,1,1,C)."""
+    dt = x.dtype
+    pa = _conv_patches(x.mean(axis=-1)).astype(dt)
+    pm = _conv_patches(x.max(axis=-1)).astype(dt)
+    ca = jax.nn.leaky_relu(pa @ w9a.astype(dt) + b9a.astype(dt), 0.2)
+    cm = jax.nn.leaky_relu(pm @ w9m.astype(dt) + b9m.astype(dt), 0.2)
+    return (ca * s1 + cm * s2) / 2.0 + x
+
+
+def scc_block_reference(x, sca, w1, w2, bb, pmat, pb, mask, bias,
+                        proj_k, proj_b, heads: int, window):
+    """jnp reference of the fused op (and the backward-pass function).
+
+    x: (B, Hp, Wp, C) padded to window multiples; sca: None or the
+    ``sca_reference`` parameter tuple; remaining args as in
+    ``scc_attention.scc_reference`` plus the (C, C) projection.
+    """
+    b, hp, wp, c = x.shape
+    wh, ww = window
+    dt = x.dtype
+    qkv = sca_reference(x, *sca) if sca is not None else x
+    x6 = qkv.reshape(b, hp // wh, wh, wp // ww, ww, c)
+    out6 = scc_reference(x6, w1, w2, bb, pmat, pb, mask, bias, heads)
+    # scc_reference promotes to f32 via the f32 pooling bias; cast back
+    # before the projection (the nn.Dense it replaces did the same)
+    out = out6.reshape(b, hp, wp, c).astype(dt)
+    return out @ proj_k.astype(dt) + proj_b.astype(dt)
+
+
+def _pick_chunk(l_full: int, ww: int, target: int = 1024) -> int:
+    """Largest row-aligned chunk <= target dividing the window (VMEM-bounded:
+    the (chunk, heads*l_base) correlation lives in f32)."""
+    chunk = min(l_full, max(ww, (target // ww) * ww))
+    while l_full % chunk:
+        chunk -= ww
+    return chunk
+
+
+def _make_kernel(heads: int, chunk: int, with_sca: bool):
+    def kernel(*refs):
+        if with_sca:
+            (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
+             w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
+             bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+        else:
+            (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
+             maskT_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+
+        wh, ww, c = x_ref.shape[1:]
+        half = c // 2
+        l_full = wh * ww
+        d = half // heads
+        l_base = pmatT_ref.shape[1]
+        f32 = jnp.float32
+        X = x_ref[0].reshape(l_full, c)
+        dt = X.dtype
+
+        if with_sca:
+            P = p_ref[0].reshape(l_full, 18)
+            ca = jax.nn.leaky_relu(
+                jnp.dot(P[:, :9], w9a_ref[...], preferred_element_type=f32)
+                + b9a_ref[0].astype(f32), 0.2)
+            cm = jax.nn.leaky_relu(
+                jnp.dot(P[:, 9:18], w9m_ref[...], preferred_element_type=f32)
+                + b9m_ref[0].astype(f32), 0.2)
+            qkv = ((ca * s1_ref[0].astype(f32) + cm * s2_ref[0].astype(f32))
+                   * 0.5 + X.astype(f32)).astype(dt)
+        else:
+            qkv = X
+
+        q = qkv[:, :half]
+        v = qkv[:, half:]
+        w1 = w1_ref[...]
+        w2 = w2_ref[...]
+        bb = bb_ref[0, :]
+        pmatT = pmatT_ref[...]  # (L, l_base)
+        n_chunks = l_full // chunk
+
+        def dotT(a, b):
+            # a^T @ b without materializing the transpose
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        # pass 1: k per chunk; accumulate gram and pooled K/V transposed
+        gram = jnp.zeros((half, half), f32)
+        k_poolT = jnp.zeros((half, l_base), f32)
+        v_poolT = jnp.zeros((half, l_base), f32)
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            q_c = q[sl]
+            v_c = v[sl]
+            k_c = (jnp.dot(q_c, w1, preferred_element_type=f32)
+                   + jnp.dot(v_c, w2, preferred_element_type=f32) + bb)
+            k_c = k_c.astype(dt)
+            gram += dotT(q_c, k_c)
+            p_c = pmatT[sl].astype(dt)
+            k_poolT += dotT(k_c, p_c)
+            v_poolT += dotT(v_c, p_c)
+        pb = pb_ref[0, 0]
+        gramT = (gram.T / float(l_full)).astype(dt)
+
+        k_bigT = (jnp.tile((k_poolT + pb).astype(dt), (1, heads))
+                  * maskT_ref[...])                      # (half, heads*l_base)
+        v_big = (jnp.tile((v_poolT + pb).T.astype(dt), (heads, 1))
+                 * mask_ref[...])                        # (heads*l_base, half)
+
+        # pass 2: per-chunk correlation + projected output
+        rows_per_chunk = chunk // ww
+        p1 = p1_ref[...]
+        p2 = p2_ref[...]
+        pjb = pjb_ref[0].astype(f32)
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            q_c = q[sl]
+            v_c = v[sl]
+            corr = jnp.dot(q_c, k_bigT, preferred_element_type=f32) / float(d)
+            corr = (corr + bias_ref[sl].astype(f32)).astype(dt)
+            out_s = jnp.dot(corr, v_big, preferred_element_type=f32).astype(dt)
+            out_c = jnp.dot(v_c, gramT, preferred_element_type=f32).astype(dt)
+            out = (jnp.dot(out_s, p1, preferred_element_type=f32)
+                   + jnp.dot(out_c, p2, preferred_element_type=f32) + pjb)
+            r0 = i * rows_per_chunk
+            o_ref[0, r0:r0 + rows_per_chunk, :, :] = out.astype(dt).reshape(
+                rows_per_chunk, ww, c)
+
+    return kernel
+
+
+def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
+                      proj_b, heads: int, window, interpret: bool = False):
+    b, hp, wp, c = x.shape
+    wh, ww = window
+    nwh, nww = hp // wh, wp // ww
+    l_full = wh * ww
+    half = c // 2
+    chunk = _pick_chunk(l_full, ww)
+    with_sca = sca is not None
+    dt = x.dtype
+
+    win_spec = lambda bi, i, j: (bi, i, j, 0)
+    const = lambda bi, i, j: (0, 0)
+
+    ins = [x]
+    in_specs = [pl.BlockSpec((1, wh, ww, c), win_spec)]
+    if with_sca:
+        w9a, b9a, w9m, b9m, s1, s2 = sca
+        patches = jnp.concatenate(
+            [_conv_patches(x.mean(axis=-1)), _conv_patches(x.max(axis=-1))],
+            axis=-1).astype(dt)
+        ins += [patches, w9a.astype(dt), b9a.reshape(1, c).astype(dt),
+                w9m.astype(dt), b9m.reshape(1, c).astype(dt),
+                s1.reshape(b, c).astype(dt), s2.reshape(b, c).astype(dt)]
+        in_specs += [
+            pl.BlockSpec((1, wh, ww, 18), win_spec),
+            pl.BlockSpec((9, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((9, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0)),
+            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0)),
+        ]
+    pmatT = pmat.T
+    maskT = mask.T
+    ins += [w1, w2, bb, pmatT, pb, mask, maskT, bias,
+            proj_k[:half].astype(dt), proj_k[half:].astype(dt),
+            proj_b.reshape(1, c).astype(dt)]
+    in_specs += [
+        pl.BlockSpec(w1.shape, const),
+        pl.BlockSpec(w2.shape, const),
+        pl.BlockSpec(bb.shape, const),
+        pl.BlockSpec(pmatT.shape, const),
+        pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(mask.shape, const),
+        pl.BlockSpec(maskT.shape, const),
+        pl.BlockSpec(bias.shape, const),
+        pl.BlockSpec((half, c), const),
+        pl.BlockSpec((half, c), const),
+        pl.BlockSpec((1, c), const),
+    ]
+
+    kernel = _make_kernel(heads, chunk, with_sca)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, nww),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, wh, ww, c), win_spec),
+        out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        interpret=interpret,
+    )(*ins)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def scc_block(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k, proj_b,
+              heads: int, window, use_pallas: bool):
+    """Fused SCA+SCC+proj; see module docstring.  ``use_pallas=False`` runs
+    the XLA composition (CPU, 4x4 windows, backward pass)."""
+    if use_pallas:
+        return _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias,
+                                 proj_k, proj_b, heads, window)
+    return scc_block_reference(x, sca, w1, w2, bb, pmat, pb, mask, bias,
+                               proj_k, proj_b, heads, window)
+
+
+def _scc_block_fwd(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k, proj_b,
+                   heads, window, use_pallas):
+    out = scc_block(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k, proj_b,
+                    heads, window, use_pallas)
+    return out, (x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k, proj_b)
+
+
+def _scc_block_bwd(heads, window, use_pallas, res, dy):
+    _, vjp = jax.vjp(
+        lambda *a: scc_block_reference(*a, heads=heads, window=window), *res)
+    return vjp(dy)
+
+
+scc_block.defvjp(_scc_block_fwd, _scc_block_bwd)

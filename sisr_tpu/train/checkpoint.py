@@ -24,7 +24,10 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, start_epoch: int, params: Any,
-                    opt_state: Any = None) -> None:
+                    opt_state: Any = None, extra: Any = None) -> None:
+    """``extra`` round-trips auxiliary variable collections (e.g. the
+    spectral-norm power-iteration u/v vectors — torch persists those as
+    weight_u/weight_v buffers in the state_dict)."""
     payload = {
         "start_epoch": np.int64(start_epoch),
         "model": jax.tree.map(np.asarray, params),
@@ -33,7 +36,9 @@ def save_checkpoint(path: str, start_epoch: int, params: Any,
     blob = serialization.msgpack_serialize(
         {"start_epoch": payload["start_epoch"],
          "model": serialization.to_state_dict(payload["model"]),
-         "optimizer": serialization.to_state_dict(payload["optimizer"])})
+         "optimizer": serialization.to_state_dict(payload["optimizer"]),
+         "extra": serialization.to_state_dict(
+             jax.tree.map(np.asarray, extra) if extra is not None else {})})
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -59,6 +64,7 @@ def load_checkpoint(path: str, params_template: Any = None,
             opt_state_template, raw["optimizer"])
     else:
         out["optimizer"] = None
+    out["extra"] = raw.get("extra") or {}
     return out
 
 

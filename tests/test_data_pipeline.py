@@ -146,6 +146,24 @@ def test_dataset_train_items(image_dir):
     assert suffix == "png"
 
 
+def test_dataset_seeded_items_reproducible(image_dir):
+    """With a seed, item randomness (crop/augment/degradation) is a pure
+    function of (seed, epoch, index) — and epochs differ."""
+    cfg = DatasetConfig(split="train", crop_size=64, scaling_factor=4, is_augment=True)
+    ds_a = SRDataset(cfg, image_dir, seed=7)
+    ds_b = SRDataset(cfg, image_dir, seed=7)
+    lr_a, hr_a, _ = ds_a[0]
+    lr_b, hr_b, _ = ds_b[0]
+    np.testing.assert_array_equal(lr_a, lr_b)
+    np.testing.assert_array_equal(hr_a, hr_b)
+    ds_b.epoch = 1
+    lr_c, _, _ = ds_b[0]
+    assert not np.array_equal(lr_a, lr_c)
+    # unseeded datasets draw fresh randomness per call
+    ds_u = SRDataset(cfg, image_dir)
+    assert not np.array_equal(ds_u[0][0], ds_u[0][0])
+
+
 def test_dataset_eval_items(image_dir):
     cfg = DatasetConfig(split="eval|test", crop_size=64, scaling_factor=4)
     ds = SRDataset(cfg, image_dir)

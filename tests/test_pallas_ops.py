@@ -74,6 +74,130 @@ def test_fused_scc_grad_runs():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def _scc_block_args(win=8, base=8, heads=2, c=20, nw=2, b=1, with_sca=True,
+                    seed=0):
+    from sisr_tpu.ops.pallas.scc_attention import (
+        blockdiag_kgen, head_mask, pooling_matrix)
+
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    d = c // (2 * heads)
+    bh = bw = min(win, base)
+    rh = win // bh
+    x = mk(b, nw * win, nw * win, c)
+    sca = None
+    if with_sca:
+        sca = (mk(9, c), mk(c), mk(9, c), mk(c),
+               mk(b, 1, 1, c), mk(b, 1, 1, c))
+    w1, w2, bb = blockdiag_kgen(mk(d, d), mk(d), mk(d, d), mk(d), heads)
+    pmat, pb = pooling_matrix(mk(rh * rh, 1), mk(1), win, win, bh, bw,
+                              jnp.float32)
+    mask = head_mask(heads, bh * bw, c // 2, jnp.float32)
+    bias = mk(win * win, heads * bh * bw)
+    return (x, sca, w1, w2, bb, pmat, pb, mask, bias, mk(c, c), mk(c),
+            heads, (win, win))
+
+
+@pytest.mark.parametrize("win,base,heads,c,with_sca", [
+    (8, 8, 2, 20, True), (8, 8, 2, 20, False), (16, 8, 2, 24, True),
+    (32, 8, 1, 16, True)])
+def test_scc_block_kernel_matches_reference(win, base, heads, c, with_sca):
+    from sisr_tpu.ops.pallas.scc_block import (_scc_block_pallas,
+                                               scc_block_reference)
+
+    args = _scc_block_args(win=win, base=base, heads=heads, c=c,
+                           nw=1 if win >= 32 else 2, with_sca=with_sca)
+    ref = scc_block_reference(*args)
+    got = _scc_block_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_scc_block_grad_runs():
+    from sisr_tpu.ops.pallas.scc_block import scc_block
+
+    args = _scc_block_args(win=8, heads=2, c=20, nw=1)
+
+    def loss(x, sca):
+        return (scc_block(x, sca, *args[2:11], args[11], args[12],
+                          False) ** 2).sum()
+
+    gx, gsca = jax.grad(loss, argnums=(0, 1))(args[0], args[1])
+    assert np.isfinite(np.asarray(gx)).all()
+    for g in gsca:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def _tail_args(h=12, w=20, c=16, ch=32, b=1, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(dtype) * 0.3)
+    return (mk(b, h, w, c), mk(b, h, w, c),          # attn, shortcut
+            mk(c) + 1.0, mk(c),                      # ln1
+            mk(c, ch), mk(ch),                       # fc1
+            mk(5, 5, ch), mk(ch),                    # dwconv
+            mk(ch, c), mk(c),                        # fc2
+            mk(c) + 1.0, mk(c))                      # ln2
+
+
+@pytest.mark.parametrize("h,w,c,ch", [(8, 12, 16, 24), (12, 20, 10, 20),
+                                      (16, 8, 24, 48)])
+def test_htb_tail_kernel_matches_reference(h, w, c, ch):
+    from sisr_tpu.ops.pallas.ffn import _htb_tail_pallas, htb_tail_reference
+
+    args = _tail_args(h=h, w=w, c=c, ch=ch)
+    ref = htb_tail_reference(*args)
+    got = _htb_tail_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_htb_tail_matches_flax_composition():
+    """The fused-op reference must equal the flax LayerNorm/Dense/dwconv
+    composition it replaced (float32)."""
+    from flax import linen as nn
+    from sisr_tpu.ops.pallas.dwconv import depthwise_conv_reference
+    from sisr_tpu.ops.pallas.ffn import htb_tail_reference
+
+    (attn, short, ln1s, ln1b, w1, b1, dw, dwb, w2, b2, ln2s, ln2b) = _tail_args()
+
+    class Old(nn.Module):
+        @nn.compact
+        def __call__(self, attn, short):
+            x = nn.LayerNorm(epsilon=1e-5, name="n1")(attn)
+            x = short + x
+            y = nn.Dense(w1.shape[1], name="fc1")(x)
+            y = nn.gelu(y, approximate=False)
+            y = y + nn.gelu(depthwise_conv_reference(y, dw, dwb), approximate=False)
+            y = nn.Dense(w2.shape[1], name="fc2")(y)
+            return x + nn.LayerNorm(epsilon=1e-5, name="n2")(y)
+
+    variables = {"params": {
+        "n1": {"scale": ln1s, "bias": ln1b},
+        "fc1": {"kernel": w1, "bias": b1},
+        "fc2": {"kernel": w2, "bias": b2},
+        "n2": {"scale": ln2s, "bias": ln2b},
+    }}
+    ref = Old().apply(variables, attn, short)
+    got = htb_tail_reference(attn, short, ln1s, ln1b, w1, b1, dw, dwb,
+                             w2, b2, ln2s, ln2b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_htb_tail_grad_matches_composition():
+    from sisr_tpu.ops.pallas.ffn import htb_tail, htb_tail_reference
+
+    args = _tail_args(h=8, w=8, c=10, ch=20)
+
+    g_fused = jax.grad(lambda *a: (htb_tail(*a, False) ** 2).sum(),
+                       argnums=tuple(range(12)))(*args)
+    g_ref = jax.grad(lambda *a: (htb_tail_reference(*a) ** 2).sum(),
+                     argnums=tuple(range(12)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_dwconv_vjp_matches_xla():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
