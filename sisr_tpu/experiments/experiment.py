@@ -50,6 +50,11 @@ from sisr_tpu.utils.meters import AverageMeter, format_str
 class Experiment:
     """Abstract experiment; subclasses implement ``init_model``."""
 
+    # GAN experiments own the resume epoch (driven by the discriminator
+    # checkpoint) and the loss/lr log writes (they append d_loss first) —
+    # polymorphic hook instead of class-name string checks
+    gan_mode = False
+
     def __init__(
         self,
         train_data_config: DatasetConfig,
@@ -62,9 +67,23 @@ class Experiment:
         eval_tile_overlap: int = 16,
         lpips_weights_path: Optional[str] = None,
         progress: bool = True,
+        n_devices: Optional[int] = None,
     ):
         self.eval_tile = eval_tile
         self.eval_tile_overlap = eval_tile_overlap
+        # data parallelism: batch sharded on a 1-D mesh, params/optimizer
+        # replicated, XLA emits the gradient all-reduce (the DDP analog —
+        # reference toolkits' BasicSR dist_util.py:10-57)
+        self.mesh = None
+        self._batch_sharding = None
+        if n_devices and n_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from sisr_tpu.parallel.mesh import make_mesh
+
+            assert model_config.batch_size % n_devices == 0, \
+                "batch_size must divide n_devices for data parallelism"
+            self.mesh = make_mesh(n_devices)
+            self._batch_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
         self.train_data_config = train_data_config
         self.eval_data_config = eval_data_config
         self.test_data_config = test_data_config
@@ -198,8 +217,22 @@ class Experiment:
         self.tx = get_optimizer(mc.optimizer, mc.learning_rate, mc.optimizer_params)
         self.loss_function = get_loss_function(mc.loss_function)
         self.lr_schedule = get_scheduler(mc.learning_rate, mc.min_learning_rate, mc.epochs)
-        self.state = create_train_state(self.variables["params"], self.tx)
+        self.state = self._place_state(
+            create_train_state(self.variables["params"], self.tx))
         self.train_step = make_train_step(self._train_apply, self.loss_function, self.tx)
+
+    def _place_state(self, state):
+        """Replicate train state over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return state
+        from sisr_tpu.parallel.mesh import replicate
+        return replicate(self.mesh, state)
+
+    def _place_batch(self, lr_imgs, hr_imgs):
+        if self._batch_sharding is None:
+            return jnp.asarray(lr_imgs), jnp.asarray(hr_imgs)
+        put = lambda x: jax.device_put(x, self._batch_sharding)
+        return put(lr_imgs), put(hr_imgs)
 
     def load_model_weights_scheduler(self, is_gan_start: bool = False):
         path = self.model_config.test_model_path if self.is_test else self.new_model_path
@@ -209,9 +242,9 @@ class Experiment:
             opt_state = self.state.opt_state
             if loaded["optimizer"] is not None and not is_gan_start:
                 opt_state = loaded["optimizer"]
-            self.state = TrainState(params, opt_state)
+            self.state = self._place_state(TrainState(params, opt_state))
             self.variables = {"params": params}
-            if type(self).__name__ != "HITSIRPROGANExperiment":
+            if not self.gan_mode:
                 self.start_epoch = loaded["start_epoch"] + 1
             print(f"loaded weights from {path}, trained epochs: {self.start_epoch - 1}")
         self._sync_epoch_lr()
@@ -228,6 +261,8 @@ class Experiment:
                 set_learning_rate(self.state.opt_state, self.current_lr()))
 
     def save_model_weights(self, model_path: str, params=None, opt_state=None):
+        if jax.process_index() != 0:  # rank-0 I/O (BasicSR master_only analog)
+            return
         ckpt.save_checkpoint(
             model_path, self.start_epoch,
             self.state.params if params is None else params,
@@ -260,6 +295,8 @@ class Experiment:
 
     @staticmethod
     def _write_rows(path: str, rows):
+        if jax.process_index() != 0:  # rank-0 I/O (BasicSR master_only analog)
+            return
         with open(path, "w") as f:
             for row in rows:
                 f.write(" ".join(str(c) for c in row) if isinstance(row, (list, tuple))
@@ -296,7 +333,7 @@ class Experiment:
             self.best_epoch_psnr_ssim_lpips_log = [float(x) for x in flat[:4]]
         if os.path.exists(p["lr"]):
             self.lr_log = [" ".join(r) for r in self._read_rows(p["lr"])]
-        if type(self).__name__ != "HITSIRPROGANExperiment":
+        if not self.gan_mode and self.lr_log:
             self.lr_log[-1] = (f"epoch:{self.start_epoch},"
                                f"lr:{format_str(self.current_lr(), 25)}")
         if os.path.exists(p["seconds"]):
@@ -331,8 +368,8 @@ class Experiment:
 
     def train_batch(self, lr_imgs: np.ndarray, hr_imgs: np.ndarray):
         self._rng, step_rng = jax.random.split(self._rng)
-        self.state, loss = self.train_step(
-            self.state, jnp.asarray(lr_imgs), jnp.asarray(hr_imgs), step_rng)
+        lr_imgs, hr_imgs = self._place_batch(lr_imgs, hr_imgs)
+        self.state, loss = self.train_step(self.state, lr_imgs, hr_imgs, step_rng)
         self.epoch_loss.update(float(loss), len(hr_imgs))
 
     def train(self):
@@ -341,7 +378,7 @@ class Experiment:
         from sisr_tpu.data.prefetch import device_prefetch
 
         for li, loader in enumerate(self.train_loaders):
-            it = device_prefetch(loader, size=2)
+            it = device_prefetch(loader, size=2, sharding=self._batch_sharding)
             if self.progress:
                 from tqdm import tqdm
                 it = tqdm(it, total=len(loader),
@@ -367,7 +404,7 @@ class Experiment:
         # next-epoch lr (cosine stepped per epoch)
         next_lr = self.lr_schedule(self.start_epoch)
         self.lr_log.append(f"epoch:{self.start_epoch + 1},lr:{format_str(next_lr, 25)}")
-        if type(self).__name__ != "HITSIRPROGANExperiment":
+        if not self.gan_mode:
             self._write_rows(self.loss_log_path, self.loss_log)
             self._write_rows(self.lr_log_path, [[row] for row in self.lr_log])
         self._write_rows(self.train_eval_seconds_consume_log_path,

@@ -37,6 +37,8 @@ from sisr_tpu.utils.meters import AverageMeter, format_str
 
 
 class HITSIRPROGANExperiment(HITSIRPROExperiment):
+    gan_mode = True
+
     def __init__(self, *args, perceptual_weights_path: Optional[str] = None,
                  **kwargs):
         self._perceptual_weights_path = perceptual_weights_path
@@ -60,7 +62,7 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
         super().init_optimizer_loss_function()
         mc = self.model_config
         self.d_tx = get_optimizer(mc.optimizer, mc.learning_rate, mc.optimizer_params)
-        self.d_state = create_train_state(self.d_params, self.d_tx)
+        self.d_state = self._place_state(create_train_state(self.d_params, self.d_tx))
 
         variables = None
         if self._perceptual_weights_path and os.path.exists(self._perceptual_weights_path):
@@ -98,10 +100,10 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
             loaded = ckpt.load_checkpoint(
                 self.discriminator_pretrain_model_path,
                 self.d_state.params, self.d_state.opt_state)
-            self.d_state = TrainState(
+            self.d_state = self._place_state(TrainState(
                 loaded["model"],
                 loaded["optimizer"] if loaded["optimizer"] is not None
-                else self.d_state.opt_state)
+                else self.d_state.opt_state))
             if loaded["extra"].get("spectral"):
                 # restore power-iteration u/v so sigma estimates survive
                 # resume (torch persists weight_u/weight_v in the state_dict)
@@ -124,10 +126,11 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
 
     def train_batch(self, lr_imgs: np.ndarray, hr_imgs: np.ndarray):
         self._rng, step_rng = jax.random.split(self._rng)
+        lr_imgs, hr_imgs = self._place_batch(lr_imgs, hr_imgs)
         state = GANTrainState(g=self.state, d=self.d_state,
                               d_variables=self.d_collections)
         state, g_loss, d_loss = self.gan_step(
-            state, jnp.asarray(lr_imgs), jnp.asarray(hr_imgs), step_rng)
+            state, lr_imgs, hr_imgs, step_rng)
         self.state = state.g
         self.d_state = state.d
         self.d_collections = state.d_variables

@@ -114,8 +114,9 @@ class PerceptualLoss:
     def __init__(self, variables: Optional[Dict] = None,
                  feature_layers: Sequence[int] = (2, 7, 16, 25, 34),
                  weights: Sequence[float] = (0.1, 0.1, 1.0, 1.0, 1.0),
-                 lossfn_type: str = "l1", dtype: Dtype = jnp.float32):
-        self.model = VGGFeatures(cfg=VGG19_CFG, taps=tuple(feature_layers), dtype=dtype)
+                 lossfn_type: str = "l1", dtype: Dtype = jnp.float32,
+                 cfg: Sequence = VGG19_CFG):
+        self.model = VGGFeatures(cfg=cfg, taps=tuple(feature_layers), dtype=dtype)
         if variables is None:
             variables = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         self.variables = variables
@@ -144,6 +145,7 @@ class LPIPSVgg(nn.Module):
     dtype: Dtype = jnp.float32
     # lpips 'vgg' taps: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
     taps: Sequence[int] = (3, 8, 15, 22, 29)
+    cfg: Sequence = VGG16_CFG
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
@@ -155,7 +157,7 @@ class LPIPSVgg(nn.Module):
         a = (a - shift) / scale
         b = (b - shift) / scale
 
-        vgg = VGGFeatures(cfg=VGG16_CFG, taps=tuple(self.taps),
+        vgg = VGGFeatures(cfg=self.cfg, taps=tuple(self.taps),
                           use_input_norm=False, dtype=self.dtype, name="net")
         fa = vgg(a)
         fb = vgg(b)

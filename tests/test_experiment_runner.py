@@ -38,9 +38,7 @@ TINY_KW = dict(
 )
 
 
-@pytest.fixture(scope="module")
-def workdir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("exp")
+def _make_data(root):
     rng = np.random.default_rng(0)
     for split, name, n, size in [("train", "setA", 2, (300, 280)),
                                  ("eval", "setB", 1, (96, 84)),
@@ -51,6 +49,44 @@ def workdir(tmp_path_factory):
             arr = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
             Image.fromarray(arr).save(d / f"im{i}.png")
     return root
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return _make_data(tmp_path_factory.mktemp("exp"))
+
+
+def test_runner_data_parallel_matches_single_device(tmp_path_factory):
+    """The n_devices knob trains on the CPU mesh and reproduces the
+    single-device run (same seeds): same loss, same params, same artifacts."""
+    import jax
+
+    def run(n_devices):
+        root = _make_data(tmp_path_factory.mktemp(f"dp{n_devices or 1}"))
+        cwd = os.getcwd()
+        os.chdir(root)
+        try:
+            exp = hitsir_pro_experiment(is_test=False, epochs=1,
+                                        n_devices=n_devices, **TINY_KW)
+        finally:
+            os.chdir(cwd)
+        return exp, root
+
+    single, root1 = run(None)
+    dp, root2 = run(2)
+    assert dp.mesh is not None
+    assert len(dp.state.params["norm"]["scale"].sharding.device_set) == 2
+    np.testing.assert_allclose(float(single.epoch_loss.avg),
+                               float(dp.epoch_loss.avg), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(single.state.params),
+                    jax.tree.leaves(dp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-3)
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    for root in (root1, root2):
+        assert (root / "weights" / folder / "new_epoch_model.pth").exists()
+        assert (root / "logs" / folder / "loss_log.txt").exists()
 
 
 @pytest.fixture(scope="module")
