@@ -205,3 +205,130 @@ def degradation_bsrgan(
 
     img = add_jpeg_noise(img, rng)
     return paired_random_crop(img, hq, sf_ori, lq_patchsize, rng)
+
+
+def add_resize(img: np.ndarray, sf: int, rng: _random.Random,
+               nrng: np.random.Generator) -> np.ndarray:
+    """Random-interp rescale (KAIR utils_blindsr.py:348-360): up U[1,2] with
+    prob .2, down U[0.5/sf, 1] with prob .7, identity otherwise."""
+    rnum = nrng.random()
+    if rnum > 0.8:
+        sf1 = rng.uniform(1, 2)
+    elif rnum < 0.7:
+        sf1 = rng.uniform(0.5 / sf, 1)
+    else:
+        sf1 = 1.0
+    img = cv2.resize(img, (int(sf1 * img.shape[1]), int(sf1 * img.shape[0])),
+                     interpolation=rng.choice(_CV2_INTERPS))
+    return np.clip(img, 0.0, 1.0)
+
+
+def add_poisson_noise(img: np.ndarray, rng: _random.Random,
+                      nrng: np.random.Generator) -> np.ndarray:
+    """Shot noise at a random exposure 10^U[2,4] (utils_blindsr.py:398-408)."""
+    img = np.clip((img * 255.0).round(), 0, 255) / 255.0
+    vals = 10 ** (2 * rng.random() + 2.0)
+    if rng.random() < 0.5:
+        img = nrng.poisson(img * vals).astype(np.float32) / vals
+    else:
+        gray = img[..., :3] @ np.asarray([0.299, 0.587, 0.114])
+        gray = np.clip((gray * 255.0).round(), 0, 255) / 255.0
+        img = img + (nrng.poisson(gray * vals).astype(np.float32) / vals
+                     - gray)[:, :, None]
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def add_speckle_noise(img: np.ndarray, rng: _random.Random,
+                      nrng: np.random.Generator,
+                      level_lo: int = 2, level_hi: int = 25) -> np.ndarray:
+    """Multiplicative Gaussian noise (utils_blindsr.py:380-395)."""
+    level = rng.randint(level_lo, level_hi)
+    img = np.clip(img, 0.0, 1.0)
+    branch = rng.random()
+    if branch > 0.6:
+        img = img + img * nrng.normal(0, level / 255.0, img.shape).astype(np.float32)
+    elif branch < 0.4:
+        img = img + img * nrng.normal(
+            0, level / 255.0, (*img.shape[:2], 1)).astype(np.float32)
+    else:
+        scale = level_hi / 255.0
+        d = np.diag(nrng.random(3))
+        u, _ = np.linalg.qr(nrng.random((3, 3)))
+        cov = np.abs(scale ** 2 * (u.T @ d @ u))
+        img = img + img * nrng.multivariate_normal(
+            [0, 0, 0], cov, img.shape[:2]).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def add_sharpening(img: np.ndarray, weight: float = 0.5, radius: int = 50,
+                   threshold: int = 10) -> np.ndarray:
+    """USM sharpening (utils_blindsr.py:308-331, borrowed from Real-ESRGAN)."""
+    if radius % 2 == 0:
+        radius += 1
+    blur = cv2.GaussianBlur(img, (radius, radius), 0)
+    residual = img - blur
+    mask = (np.abs(residual) * 255 > threshold).astype(np.float32)
+    soft_mask = cv2.GaussianBlur(mask, (radius, radius), 0)
+    sharp = np.clip(img + weight * residual, 0, 1)
+    return soft_mask * sharp + (1 - soft_mask) * img
+
+
+def degradation_bsrgan_plus(
+    img: np.ndarray,
+    sf: int = 4,
+    shuffle_prob: float = 0.5,
+    use_sharp: bool = False,
+    lq_patchsize: int = 64,
+    isp_model=None,
+    rng: Optional[_random.Random] = None,
+    nrng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extended BSRGAN+Real-ESRGAN degradation (utils_blindsr.py:521-605):
+    13 stages (blur/resize/gauss/poisson/speckle/isp twice + mid JPEG), fully
+    shuffled with prob ``shuffle_prob`` else locally shuffled noise groups;
+    final 1/sf resize + JPEG + aligned crop.  Unused by the flagship app
+    (which calls ``degradation_bsrgan``) — provided for library parity."""
+    rng = rng or _random
+    nrng = nrng or np.random.default_rng()
+
+    h1, w1 = img.shape[:2]
+    img = img.copy()[:h1 - h1 % sf, :w1 - w1 % sf, ...]
+    h, w = img.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(f"img size ({h1}x{w1}) is too small")
+
+    if use_sharp:
+        img = add_sharpening(img)
+    hq = img.copy()
+
+    if rng.random() < shuffle_prob:
+        order = rng.sample(range(13), 13)
+    else:
+        order = list(range(13))
+        order[2:6] = rng.sample(order[2:6], 4)
+        order[9:13] = rng.sample(order[9:13], 4)
+
+    poisson_prob = speckle_prob = isp_prob = 0.1
+    for i in order:
+        if i in (0, 7):
+            img = add_blur(img, sf, rng)
+        elif i in (1, 8):
+            img = add_resize(img, sf, rng, nrng)
+        elif i in (2, 9):
+            img = add_gaussian_noise(img, rng, nrng, 2, 25)
+        elif i in (3, 10):
+            if rng.random() < poisson_prob:
+                img = add_poisson_noise(img, rng, nrng)
+        elif i in (4, 11):
+            if rng.random() < speckle_prob:
+                img = add_speckle_noise(img, rng, nrng)
+        elif i in (5, 12):
+            if isp_model is not None and rng.random() < isp_prob:
+                img, hq = isp_model(img.copy(), hq)
+        elif i == 6:
+            img = add_jpeg_noise(img, rng)
+
+    img = cv2.resize(img, (int(hq.shape[1] / sf), int(hq.shape[0] / sf)),
+                     interpolation=rng.choice(_CV2_INTERPS))
+    img = add_jpeg_noise(img, rng)
+    return paired_random_crop(img, hq, sf, lq_patchsize, rng)

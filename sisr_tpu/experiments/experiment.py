@@ -62,7 +62,10 @@ class Experiment:
         test_data_config: DatasetConfig,
         model_config: ModelConfig,
         is_test: bool,
-        eval_mode: str = "tiled",  # 'tiled' | 'whole'
+        # 'whole' follows the reference eval protocol (whole-image forward,
+        # experiment.py:746-748) so metric logs are comparable; 'tiled' is
+        # the serving path (fixed compiled shapes, arbitrary sizes)
+        eval_mode: str = "whole",
         eval_tile: int = 192,
         eval_tile_overlap: int = 16,
         lpips_weights_path: Optional[str] = None,

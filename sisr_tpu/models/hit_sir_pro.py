@@ -400,11 +400,14 @@ class SCC(nn.Module):
             out = out6.reshape(b, hp, wp, c).astype(dt)
             out = out @ proj_k.astype(dt) + proj_b.astype(dt)
         else:
-            # Mosaic needs the block's second-minor dim to be a multiple of
-            # 8; the ladder's 4x4-window blocks use the jnp reference.
+            # windows <= base window run the row-band kernel (degenerate
+            # pooling); larger ones the per-window kernel — Mosaic needs the
+            # block's second-minor dim (wp resp. ww) to be a multiple of 8
             import os
-            use_pallas = (jax.default_backend() == "tpu" and ww % 8 == 0
-                          and wh % 8 == 0
+            band_ok = bh == wh and bw == ww and wp % 8 == 0
+            win_ok = ww % 8 == 0 and wh % 8 == 0
+            use_pallas = (jax.default_backend() == "tpu"
+                          and (band_ok or win_ok)
                           and os.environ.get("SISR_FUSED_SCC", "1") == "1")
             out = scc_block(x, sca, w1, w2, bb, pmat, pb, mask,
                             bias.astype(dt), proj_k.astype(dt),
@@ -495,6 +498,7 @@ class HierarchicalTransformerBlock(nn.Module):
     mlp_ratio: float = 2.0
     drop: float = 0.0
     value_drop: float = 0.0
+    drop_path: float = 0.0
     is_channel_spatial_attn: bool = True
     dtype: Dtype = jnp.float32
 
@@ -526,17 +530,25 @@ class HierarchicalTransformerBlock(nn.Module):
             self.dim, hidden, name="mlp")()
         ln2_s, ln2_b = LayerNormParams(self.dim, name="norm2")()
 
-        dropout_active = self.drop > 0.0 and not deterministic
+        dropout_active = not deterministic and (self.drop > 0.0
+                                                or self.drop_path > 0.0)
         if dropout_active:
-            # functional composition with the two dropouts (reference :225-232)
-            xr = shortcut + layer_norm(attn, ln1_s.astype(dt), ln1_b.astype(dt))
+            # functional composition with the two dropouts (reference
+            # :225-232) and stochastic depth around both residual branches
+            # (reference :703-704)
+            dpath = nn.Dropout(self.drop_path, broadcast_dims=(1, 2, 3),
+                               name="drop_path")
+            xr = shortcut + dpath(
+                layer_norm(attn, ln1_s.astype(dt), ln1_b.astype(dt)),
+                deterministic=deterministic)
             hh = _gelu(xr @ fc1_k.astype(dt) + fc1_b.astype(dt))
             hh = hh + _gelu(depthwise_conv_reference(
                 hh, dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt)))
             hh = nn.Dropout(self.drop, name="drop1")(hh, deterministic=deterministic)
             y = hh @ fc2_k.astype(dt) + fc2_b.astype(dt)
             y = nn.Dropout(self.drop, name="drop2")(y, deterministic=deterministic)
-            return xr + layer_norm(y, ln2_s.astype(dt), ln2_b.astype(dt))
+            return xr + dpath(layer_norm(y, ln2_s.astype(dt), ln2_b.astype(dt)),
+                              deterministic=deterministic)
 
         import os
         use_pallas = (jax.default_backend() == "tpu" and supports_shape(h)
@@ -547,6 +559,20 @@ class HierarchicalTransformerBlock(nn.Module):
                         dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt),
                         fc2_k.astype(dt), fc2_b.astype(dt),
                         ln2_s.astype(dt), ln2_b.astype(dt), use_pallas)
+
+
+class ThreeConv(nn.Module):
+    """resi_connection='3conv' squeeze (reference :913-918); child names
+    0/2/4 match the torch Sequential indices for the converter."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.leaky_relu(_conv(self.dim // 4, 3, "0", self.dtype)(x), 0.2)
+        x = nn.leaky_relu(_conv(self.dim // 4, 1, "2", self.dtype)(x), 0.2)
+        return _conv(self.dim, 3, "4", self.dtype)(x)
 
 
 class RHTB(nn.Module):
@@ -561,8 +587,10 @@ class RHTB(nn.Module):
     mlp_ratio: float = 2.0
     drop: float = 0.0
     value_drop: float = 0.0
+    drop_paths: Tuple[float, ...] = ()
     is_channel_spatial_attn: bool = True
     use_checkpoint: bool = False
+    resi_connection: str = "1conv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -580,11 +608,15 @@ class RHTB(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 drop=self.drop,
                 value_drop=self.value_drop,
+                drop_path=self.drop_paths[i] if self.drop_paths else 0.0,
                 is_channel_spatial_attn=self.is_channel_spatial_attn,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(y, deterministic)
-        y = _conv(self.dim, 3, "conv", self.dtype)(y)
+        if self.resi_connection == "3conv":
+            y = ThreeConv(self.dim, self.dtype, name="conv")(y)
+        else:
+            y = _conv(self.dim, 3, "conv", self.dtype)(y)
         return x + y
 
 
@@ -644,6 +676,9 @@ class HiTSIR(nn.Module):
     mlp_ratio: float = 2.0
     drop_rate: float = 0.0
     value_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    ape: bool = False
+    resi_connection: str = "1conv"
     upscale: int = 4
     img_range: float = 1.0
     upsampler: str = "nearest+conv"
@@ -680,11 +715,21 @@ class HiTSIR(nn.Module):
             shallow = _conv(c, 3, "conv_first", dt)(x)
 
         # 2. deep feature extraction (reference :1284-1302)
+        # stochastic-depth decay: linspace over all STLs (reference :1193)
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(self.depths)).tolist()
+
         def forward_features(feat):
             feat = _layer_norm("patch_embed_norm", dt)(feat)  # patch_norm=True
+            if self.ape:
+                fb, fh, fw, fc = feat.shape
+                pos = self.param("absolute_pos_embed",
+                                 nn.initializers.truncated_normal(0.02),
+                                 (1, fh * fw, fc))
+                feat = feat + pos.reshape(1, fh, fw, fc).astype(dt)
             feat = nn.Dropout(self.drop_rate, name="pos_drop")(
                 feat, deterministic=deterministic)
             wins = self.window_sizes()
+            off = 0
             for i, depth in enumerate(self.depths):
                 feat = RHTB(
                     dim=c,
@@ -695,11 +740,14 @@ class HiTSIR(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     drop=self.drop_rate,
                     value_drop=self.value_drop_rate,
+                    drop_paths=tuple(dpr[off:off + depth]),
                     is_channel_spatial_attn=self.is_channel_spatial_attn,
                     use_checkpoint=self.use_checkpoint,
+                    resi_connection=self.resi_connection,
                     dtype=dt,
                     name=f"layers_{i}",
                 )(feat, deterministic=deterministic)
+                off += depth
             return _layer_norm("norm", dt)(feat)
 
         def fuse(deep, sh):

@@ -92,18 +92,19 @@ def htb_tail_reference(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
     return x + layer_norm(y, ln2_s, ln2_b)
 
 
-def _tail_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, dw_ref,
-                 dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, o_ref,
-                 *, h_img: int, th: int):
-    """Blocks: a/s (1, 1, th+4, W, C); o (1, 1, th, W, C); dw_ref (25, Ch)."""
-    wd = o_ref.shape[3]
-    c = o_ref.shape[4]
+def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
+                 b1_ref, dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+                 o_ref, *, h_img: int, th: int):
+    """Blocks: a/s (1, th, W, C) zero-copy views of the full arrays; ah/sh
+    (1, 1, 4, W, C) hold the 2-row top+bottom halos; o (1, th, W, C)."""
+    wd = o_ref.shape[2]
+    c = o_ref.shape[3]
     ch = w1_ref.shape[1]
     dt = o_ref.dtype
     f32 = jnp.float32
 
-    a = a_ref[0, 0]
-    s = s_ref[0, 0]
+    a = jnp.concatenate([ah_ref[0, 0, 0:2], a_ref[0], ah_ref[0, 0, 2:4]], axis=0)
+    s = jnp.concatenate([sh_ref[0, 0, 0:2], s_ref[0], sh_ref[0, 0, 2:4]], axis=0)
     x = s + layer_norm(a, ln1s_ref[0], ln1b_ref[0])  # (th+4, W, C)
 
     lin1 = jnp.dot(x.reshape((th + PAD) * wd, c), w1_ref[...],
@@ -132,12 +133,12 @@ def _tail_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, dw_ref,
                  preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
     out = x[PAD // 2:PAD // 2 + th] + layer_norm(y.reshape(th, wd, c),
                                                  ln2s_ref[0], ln2b_ref[0])
-    o_ref[0, 0] = out.astype(dt)
+    o_ref[0] = out.astype(dt)
 
 
-def _pick_row_tile(h: int) -> int:
-    # th=16 exceeds the 16 MB scoped-VMEM limit at (192, 360) hidden widths;
-    # 8 fits with double-buffered in/out blocks.
+def _pick_row_tile(h: int, itemsize: int = 2) -> int:
+    # th=8 measured fastest at flagship widths (th=16 with a raised VMEM
+    # limit was 3 ms/tile slower — bigger bands pipeline worse)
     for th in (8, 4):
         if h % th == 0:
             return th
@@ -148,23 +149,32 @@ def _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                      ln2_s, ln2_b, interpret: bool = False):
     b, h, wd, c = attn.shape
     ch = w1.shape[1]
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, attn.dtype.itemsize)
     assert th, f"no row tile for H={h}"
     nb = h // th
 
-    def overlap(t):
+    def halo(t):
+        """(B, nb, 4, W, C): the 2 rows above and below each band (zeros at
+        image borders) — the only materialized copy; the band bodies are
+        read straight from the source arrays by BlockSpec."""
         tp = jnp.pad(t, ((0, 0), (PAD // 2, PAD // 2), (0, 0), (0, 0)))
-        bands = [tp[:, r * th:r * th + th + PAD] for r in range(nb)]
-        return jnp.stack(bands, axis=1)  # (B, nb, th+4, W, C)
+        tops = jnp.stack([tp[:, r * th:r * th + 2] for r in range(nb)], axis=1)
+        bots = jnp.stack([tp[:, r * th + th + 2:r * th + th + 4]
+                          for r in range(nb)], axis=1)
+        return jnp.concatenate([tops, bots], axis=2)
 
     kernel = functools.partial(_tail_kernel, h_img=h, th=th)
     const = lambda bi, ri: (0, 0)
+    body_spec = pl.BlockSpec((1, th, wd, c), lambda bi, ri: (bi, ri, 0, 0))
+    halo_spec = pl.BlockSpec((1, 1, 4, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0))
     out = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, th + PAD, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0)),
-            pl.BlockSpec((1, 1, th + PAD, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0)),
+            body_spec,
+            halo_spec,
+            body_spec,
+            halo_spec,
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((c, ch), const),
@@ -176,15 +186,17 @@ def _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((1, c), const),
         ],
-        out_specs=pl.BlockSpec((1, 1, th, wd, c),
-                               lambda bi, ri: (bi, ri, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nb, th, wd, c), attn.dtype),
+        out_specs=pl.BlockSpec((1, th, wd, c), lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, c), attn.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(overlap(attn), overlap(shortcut),
+    )(attn, halo(attn), shortcut, halo(shortcut),
       ln1_s.reshape(1, c), ln1_b.reshape(1, c),
       w1, b1.reshape(1, ch), dw.reshape(K * K, ch), dwb.reshape(1, ch),
       w2, b2.reshape(1, c), ln2_s.reshape(1, c), ln2_b.reshape(1, c))
-    return out.reshape(b, h, wd, c)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12,))

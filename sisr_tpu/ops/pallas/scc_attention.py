@@ -23,22 +23,19 @@ using an algebraic normal form where every step is a plain matmul:
 The relative-position bias table is input-independent per block and is
 computed outside (structured small gather) and streamed in.
 
-Forward runs the kernel; backward falls back to jax.vjp over the identical
-jnp reference (`scc_reference`) — numerically the same function.
-Windows with wh or ww < 8 use the reference path (Mosaic requires the
-second-minor block dim to be a multiple of 8).
+This module holds the jnp reference (`scc_reference`) and the normal-form
+parameter builders; the production kernels live in
+sisr_tpu/ops/pallas/scc_block.py (per-window and row-band variants, with the
+SpatialChannelAttention and output projection fused in).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
@@ -81,141 +78,6 @@ def scc_reference(x, w1, w2, bb, pmat, pb, mask, bias, heads: int):
     out = jnp.concatenate([out_s, out_c], axis=-1)
     out = out.reshape(b, nwh, nww, wh, ww, c).transpose(0, 1, 3, 2, 4, 5)
     return out
-
-
-# ---------------------------------------------------------------------------
-# pallas kernel
-# ---------------------------------------------------------------------------
-
-def _scc_kernel(x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
-                maskT_ref, bias_ref, o_ref, *, heads: int, chunk: int):
-    wh, ww, c = x_ref.shape[1:]
-    half = c // 2
-    l_full = wh * ww
-    d = half // heads
-    l_base = pmatT_ref.shape[1]
-    f32 = jnp.float32
-
-    X = x_ref[0].reshape(l_full, c)
-    q = X[:, :half]
-    v = X[:, half:]
-    w1 = w1_ref[...]
-    w2 = w2_ref[...]
-    bb = bb_ref[0, :]
-    pmatT = pmatT_ref[...]  # (L, l_base)
-
-    n_chunks = l_full // chunk
-
-    def dotT(a, b):
-        # a^T @ b without materializing the transpose (contract dim 0 of both)
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-
-    # pass 1: k per chunk; accumulate gram and pooled K/V (transposed form,
-    # half on the sublane axis, so pass 2 needs no operand transposes)
-    gram = jnp.zeros((half, half), f32)
-    k_poolT = jnp.zeros((half, l_base), f32)
-    v_poolT = jnp.zeros((half, l_base), f32)
-    for i in range(n_chunks):
-        sl = slice(i * chunk, (i + 1) * chunk)
-        q_c = q[sl]
-        v_c = v[sl]
-        k_c = (jnp.dot(q_c, w1, preferred_element_type=f32)
-               + jnp.dot(v_c, w2, preferred_element_type=f32) + bb)
-        k_c = k_c.astype(q_c.dtype)
-        gram += dotT(q_c, k_c)
-        p_c = pmatT[sl].astype(k_c.dtype)  # (chunk, l_base)
-        k_poolT += dotT(k_c, p_c)
-        v_poolT += dotT(v_c, p_c)
-    pb = pb_ref[0, 0]
-    gramT = (gram.T / float(l_full)).astype(X.dtype)
-
-    # K/V in both orientations for pass 2, no in-loop transposes
-    k_bigT = (jnp.tile((k_poolT + pb).astype(X.dtype), (1, heads))
-              * maskT_ref[...])                      # (half, heads*l_base)
-    v_big = (jnp.tile((v_poolT + pb).T.astype(X.dtype), (heads, 1))
-             * mask_ref[...])                        # (heads*l_base, half)
-
-    # pass 2: per-chunk correlation + outputs
-    rows_per_chunk = chunk // ww
-    for i in range(n_chunks):
-        sl = slice(i * chunk, (i + 1) * chunk)
-        q_c = q[sl]
-        v_c = v[sl]
-        corr = jnp.dot(q_c, k_bigT, preferred_element_type=f32) / float(d)
-        corr = (corr + bias_ref[sl].astype(f32)).astype(X.dtype)
-        out_s = jnp.dot(corr, v_big, preferred_element_type=f32)
-        out_c = jnp.dot(v_c, gramT, preferred_element_type=f32)
-        out = jnp.concatenate([out_s, out_c], axis=-1).astype(o_ref.dtype)
-        r0 = i * rows_per_chunk
-        o_ref[0, r0:r0 + rows_per_chunk, :, :] = out.reshape(
-            rows_per_chunk, ww, c)
-
-
-def _pick_chunk(l_full: int, ww: int) -> int:
-    target = 2048
-    chunk = min(l_full, max(ww, (target // ww) * ww))
-    while l_full % chunk:
-        chunk -= ww
-    return chunk
-
-
-def _scc_pallas(x6, w1, w2, bb, pmat, pb, mask, bias, heads: int,
-                interpret: bool = False):
-    b, nwh, wh, nww, ww, c = x6.shape
-    l_full = wh * ww
-    chunk = _pick_chunk(l_full, ww)
-
-    x = x6.reshape(b, nwh * wh, nww * ww, c)
-    pmatT = pmat.T  # (L, l_base): pass-1 rhs orientation, no in-kernel transpose
-    maskT = mask.T
-    kernel = functools.partial(_scc_kernel, heads=heads, chunk=chunk)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, nwh, nww),
-        in_specs=[
-            pl.BlockSpec((1, wh, ww, c), lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec(w1.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(w2.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(bb.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(pmatT.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec((1, 1), lambda bi, i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(mask.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(maskT.shape, lambda bi, i, j: (0, 0)),
-            pl.BlockSpec(bias.shape, lambda bi, i, j: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, wh, ww, c), lambda bi, i, j: (bi, i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(x, w1, w2, bb, pmatT, pb, mask, maskT, bias)
-    return out.reshape(b, nwh, wh, nww, ww, c)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def fused_scc(x6, w1, w2, bb, pmat, pb, mask, bias, heads: int, use_pallas: bool):
-    """Fused SCC window attention; see module docstring.  All args as in
-    ``scc_reference``; set use_pallas=False for the XLA path."""
-    if use_pallas:
-        return _scc_pallas(x6, w1, w2, bb, pmat, pb, mask, bias, heads)
-    return scc_reference(x6, w1, w2, bb, pmat, pb, mask, bias, heads)
-
-
-def _fused_scc_fwd(x6, w1, w2, bb, pmat, pb, mask, bias, heads, use_pallas):
-    out = fused_scc(x6, w1, w2, bb, pmat, pb, mask, bias, heads, use_pallas)
-    return out, (x6, w1, w2, bb, pmat, pb, mask, bias)
-
-
-def _fused_scc_bwd(heads, use_pallas, res, dy):
-    x6, w1, w2, bb, pmat, pb, mask, bias = res
-    _, vjp = jax.vjp(
-        lambda *a: scc_reference(*a, heads=heads),
-        x6, w1, w2, bb, pmat, pb, mask, bias)
-    return vjp(dy)
-
-
-fused_scc.defvjp(_fused_scc_fwd, _fused_scc_bwd)
 
 
 # ---------------------------------------------------------------------------

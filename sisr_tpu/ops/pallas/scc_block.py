@@ -182,6 +182,87 @@ def _make_kernel(heads: int, chunk: int, with_sca: bool):
     return kernel
 
 
+def _make_band_kernel(heads: int, ww: int, with_sca: bool):
+    """Row-of-windows kernel for windows no larger than the base window
+    (rh == rw == 1): the learned pooling degenerates to ``k*pw + pb``, so a
+    full row of nW windows batches into one invocation with batched matmuls —
+    the 4x4-window blocks (which Mosaic's 8-alignment rule excludes from the
+    per-window kernel) and the tiny 8x8 windows (576 grid steps per block
+    otherwise) both run here."""
+
+    def kernel(*refs):
+        if with_sca:
+            (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
+             w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
+             bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+        else:
+            (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
+             maskT_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+
+        wh, wd, c = x_ref.shape[1:]
+        half = c // 2
+        nw = wd // ww
+        l = wh * ww
+        d = half // heads
+        f32 = jnp.float32
+        t_all = wh * wd
+        X = x_ref[0].reshape(t_all, c)
+        dt = X.dtype
+
+        if with_sca:
+            P = p_ref[0].reshape(t_all, 18)
+            ca = jax.nn.leaky_relu(
+                jnp.dot(P[:, :9], w9a_ref[...], preferred_element_type=f32)
+                + b9a_ref[0].astype(f32), 0.2)
+            cm = jax.nn.leaky_relu(
+                jnp.dot(P[:, 9:18], w9m_ref[...], preferred_element_type=f32)
+                + b9m_ref[0].astype(f32), 0.2)
+            qkv = ((ca * s1_ref[0].astype(f32) + cm * s2_ref[0].astype(f32))
+                   * 0.5 + X.astype(f32)).astype(dt)
+        else:
+            qkv = X
+
+        q = qkv[:, :half]
+        v = qkv[:, half:]
+        k = (jnp.dot(q, w1_ref[...], preferred_element_type=f32)
+             + jnp.dot(v, w2_ref[...], preferred_element_type=f32)
+             + bb_ref[0, :]).astype(dt)
+        # degenerate pooling: P = pw * I — pw arrives as an SMEM f32 scalar
+        # (in band mode the pmatT slot carries (1,1) pw, not the matrix)
+        pw = pmatT_ref[0, 0]
+        pb = pb_ref[0, 0]
+        kp = (k.astype(f32) * pw + pb).astype(dt)
+        vp = (v.astype(f32) * pw + pb).astype(dt)
+
+        def towin(t):  # (T, F) -> (nW, L, F)
+            f = t.shape[-1]
+            return t.reshape(wh, nw, ww, f).transpose(1, 0, 2, 3).reshape(nw, l, f)
+
+        def bdot(a, b, ca_, cb_):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((ca_,), (cb_,)), ((0,), (0,))),
+                preferred_element_type=f32)
+
+        qw, vw, kw, kpw, vpw = (towin(t) for t in (q, v, k, kp, vp))
+        k_big = jnp.tile(kpw, (1, heads, 1)) * mask_ref[...][None]  # (nW, hl, half)
+        v_big = jnp.tile(vpw, (1, heads, 1)) * mask_ref[...][None]
+
+        corr = bdot(qw, k_big, 2, 2) / float(d) + bias_ref[...].astype(f32)[None]
+        out_s = bdot(corr.astype(dt), v_big, 2, 1)            # (nW, L, half)
+        gram = (bdot(qw, kw, 1, 1) / float(l)).astype(dt)     # (nW, half, half)
+        out_c = bdot(vw, gram, 2, 2)                          # (nW, L, half)
+
+        out = (jnp.dot(out_s.astype(dt).reshape(t_all, half), p1_ref[...],
+                       preferred_element_type=f32)
+               + jnp.dot(out_c.astype(dt).reshape(t_all, half), p2_ref[...],
+                         preferred_element_type=f32)
+               + pjb_ref[0].astype(f32))
+        out = out.astype(dt).reshape(nw, wh, ww, c).transpose(1, 0, 2, 3)
+        o_ref[0] = out.reshape(wh, wd, c)
+
+    return kernel
+
+
 def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
                       proj_b, heads: int, window, interpret: bool = False):
     b, hp, wp, c = x.shape
@@ -192,12 +273,29 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     chunk = _pick_chunk(l_full, ww)
     with_sca = sca is not None
     dt = x.dtype
+    # windows no larger than the base window (pooling degenerate): batch a
+    # whole row of windows per invocation
+    band = pmat.shape[0] == l_full
 
-    win_spec = lambda bi, i, j: (bi, i, j, 0)
-    const = lambda bi, i, j: (0, 0)
+    if band:
+        grid = (b, nwh)
+        win_spec = lambda bi, i: (bi, i, 0, 0)
+        const = lambda bi, i: (0, 0)
+        x_block = (1, wh, wp, c)
+        p_block = (1, wh, wp, 18)
+        s_spec = lambda bi, i: (bi, 0)
+        kernel = _make_band_kernel(heads, ww, with_sca)
+    else:
+        grid = (b, nwh, nww)
+        win_spec = lambda bi, i, j: (bi, i, j, 0)
+        const = lambda bi, i, j: (0, 0)
+        x_block = (1, wh, ww, c)
+        p_block = (1, wh, ww, 18)
+        s_spec = lambda bi, i, j: (bi, 0)
+        kernel = _make_kernel(heads, chunk, with_sca)
 
     ins = [x]
-    in_specs = [pl.BlockSpec((1, wh, ww, c), win_spec)]
+    in_specs = [pl.BlockSpec(x_block, win_spec)]
     if with_sca:
         w9a, b9a, w9m, b9m, s1, s2 = sca
         patches = jnp.concatenate(
@@ -207,24 +305,28 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
                 w9m.astype(dt), b9m.reshape(1, c).astype(dt),
                 s1.reshape(b, c).astype(dt), s2.reshape(b, c).astype(dt)]
         in_specs += [
-            pl.BlockSpec((1, wh, ww, 18), win_spec),
+            pl.BlockSpec(p_block, win_spec),
             pl.BlockSpec((9, c), const),
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((9, c), const),
             pl.BlockSpec((1, c), const),
-            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0)),
+            pl.BlockSpec((1, c), s_spec),
+            pl.BlockSpec((1, c), s_spec),
         ]
-    pmatT = pmat.T
+    # band mode: the pooling matrix is pw*I — ship just the scalar via SMEM
+    pmat_in = (pmat[:1, :1].astype(jnp.float32).reshape(1, 1) if band
+               else pmat.T)
+    pmat_spec = (pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM) if band
+                 else pl.BlockSpec(pmat_in.shape, const))
     maskT = mask.T
-    ins += [w1, w2, bb, pmatT, pb, mask, maskT, bias,
+    ins += [w1, w2, bb, pmat_in, pb, mask, maskT, bias,
             proj_k[:half].astype(dt), proj_k[half:].astype(dt),
             proj_b.reshape(1, c).astype(dt)]
     in_specs += [
         pl.BlockSpec(w1.shape, const),
         pl.BlockSpec(w2.shape, const),
         pl.BlockSpec(bb.shape, const),
-        pl.BlockSpec(pmatT.shape, const),
+        pmat_spec,
         pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
         pl.BlockSpec(mask.shape, const),
         pl.BlockSpec(maskT.shape, const),
@@ -234,13 +336,17 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         pl.BlockSpec((1, c), const),
     ]
 
-    kernel = _make_kernel(heads, chunk, with_sca)
     return pl.pallas_call(
         kernel,
-        grid=(b, nwh, nww),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wh, ww, c), win_spec),
+        out_specs=pl.BlockSpec(x_block, win_spec),
         out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        # v5e has 128 MB of physical VMEM; the 64-window blocks need more
+        # than the compiler's default 16 MB scoped limit
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * (len(grid) - 1) + ("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
 

@@ -31,17 +31,21 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
     """Upsample by ``up`` (zero-stuffing), FIR-filter with ``kernel`` (2-D,
     applied depthwise), downsample by ``down``.  NHWC input.
 
-    Equivalent to the reference CUDA op: lhs dilation implements the
-    zero-stuffed upsample, conv stride the downsample.
+    Bit-matches BasicSR's op (basicsr/ops/upfirdn2d/upfirdn2d.py:162-192):
+    the reference stuffs ``up-1`` zeros AFTER each sample (so the upsampled
+    map is ``in*up`` long — lhs dilation alone gives ``(in-1)*up+1``, hence
+    the extra trailing pad) and convolves with the FLIPPED kernel
+    (F.conv2d correlates, so the flip makes it a true convolution).
     """
     b, h, w, c = x.shape
     kh, kw = kernel.shape
-    k = jnp.broadcast_to(kernel[:, :, None, None].astype(x.dtype), (kh, kw, 1, c))
+    k = kernel[::-1, ::-1]
+    k = jnp.broadcast_to(k[:, :, None, None].astype(x.dtype), (kh, kw, 1, c))
     pad0, pad1 = pad
     return jax.lax.conv_general_dilated(
         x, k,
         window_strides=(down, down),
-        padding=((pad0, pad1), (pad0, pad1)),
+        padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
         lhs_dilation=(up, up),
         feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

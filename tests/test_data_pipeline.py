@@ -186,6 +186,29 @@ def test_device_prefetch_passthrough():
         assert hasattr(lr, "devices") or hasattr(lr, "device")  # on device
 
 
+def test_dataloader_process_pool_matches_threads(image_dir):
+    """The spawn-based degradation worker pool yields the exact batches of
+    the in-process path (seeded dataset => order + values reproducible)."""
+    cfg = DatasetConfig(split="train", crop_size=64, scaling_factor=4)
+    mk = lambda wt: DataLoader(SRDataset(cfg, image_dir, seed=5), batch_size=2,
+                               shuffle=True, drop_last=True, num_workers=2,
+                               seed=3, worker_type=wt)
+    thread_loader, proc_loader = mk("thread"), mk("process")
+    try:
+        a = list(thread_loader)
+        b = list(proc_loader)
+        assert len(a) == len(b) == 1
+        np.testing.assert_array_equal(a[0][0], b[0][0])
+        np.testing.assert_array_equal(a[0][1], b[0][1])
+        assert a[0][2] == b[0][2]
+        # second epoch draws fresh randomness and still matches
+        a2, b2 = next(iter(thread_loader)), next(iter(proc_loader))
+        np.testing.assert_array_equal(a2[0], b2[0])
+        assert not np.array_equal(a[0][0], a2[0])
+    finally:
+        proc_loader.close()
+
+
 @pytest.mark.parametrize("workers", [0, 2])
 def test_dataloader_batches(image_dir, workers):
     cfg = DatasetConfig(split="train", crop_size=64, scaling_factor=4)
@@ -198,3 +221,25 @@ def test_dataloader_batches(image_dir, workers):
     assert lr.shape == (2, 64, 64, 3)
     assert hr.shape == (2, 256, 256, 3)
     assert lr.dtype == np.float32
+
+
+def test_degradation_bsrgan_plus_shapes_and_variety():
+    """Extended BSRGAN+Real-ESRGAN recipe (KAIR utils_blindsr.py:521-605):
+    aligned pair shapes, stochastic variety, sharpening branch."""
+    import random as pyrandom
+    from sisr_tpu.data.degradation import degradation_bsrgan_plus
+
+    rng = pyrandom.Random(0)
+    nrng = np.random.default_rng(0)
+    img = np.random.default_rng(1).random((280, 300, 3)).astype(np.float32)
+    lqs = []
+    for i in range(3):
+        lq, hq = degradation_bsrgan_plus(img, sf=4, lq_patchsize=64,
+                                         use_sharp=(i == 2), rng=rng, nrng=nrng)
+        assert lq.shape == (64, 64, 3) and hq.shape == (256, 256, 3)
+        assert lq.min() >= 0.0 and lq.max() <= 1.0
+        lqs.append(lq)
+    assert not np.array_equal(lqs[0], lqs[1])
+    with pytest.raises(ValueError):
+        degradation_bsrgan_plus(np.zeros((64, 64, 3), np.float32), sf=4,
+                                lq_patchsize=64)

@@ -56,6 +56,25 @@ def workdir(tmp_path_factory):
     return _make_data(tmp_path_factory.mktemp("exp"))
 
 
+def test_eval_mode_whole_vs_tiled(ran_experiment):
+    """Default eval follows the reference whole-image protocol; the tiled
+    serving path must stay metrically close (seam blending, same weights)."""
+    exp, _ = ran_experiment
+    lr = np.random.default_rng(3).random((1, 24, 20, 3), dtype=np.float32)
+    exp.eval_mode = "whole"
+    whole = exp._infer_one(lr)
+    exp.eval_mode = "tiled"
+    tiled = exp._infer_one(lr)
+    exp.eval_mode = "whole"
+    assert whole.shape == tiled.shape == (1, 96, 80, 3)
+    mse = float(np.mean((whole - tiled) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    # untrained weights are the worst case for seam agreement (measured
+    # ~26 dB); trained smooth models sit far above — metric-parity claims
+    # use the default whole-image protocol, tiled is the serving path
+    assert psnr > 20.0, f"tiled-vs-whole PSNR {psnr:.1f} dB"
+
+
 def test_runner_data_parallel_matches_single_device(tmp_path_factory):
     """The n_devices knob trains on the CPU mesh and reproduces the
     single-device run (same seeds): same loss, same params, same artifacts."""

@@ -64,3 +64,31 @@ def test_dense_trains_one_step():
     step = make_train_step(model.apply, l1_loss, tx)
     state, loss = step(state, lr_imgs, hr_imgs, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_hitsir_dormant_knobs():
+    """drop_path_rate / ape / resi_connection='3conv' (reference
+    models/hit_sir_pro.py:1109,1180-1193,911-918 — defaults off in the
+    flagship) wire up and train."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+
+    model = HiTSIR(is_mult_size_conv_feat_extract=False,
+                   is_channel_spatial_attn=False, is_fusion=False,
+                   embed_dim=20, depths=(2,), num_heads=(2,),
+                   base_win_size=(4, 4), hier_win_ratios=(0.5, 1),
+                   upsampler="pixelshuffledirect", upscale=4,
+                   drop_path_rate=0.3, ape=True, resi_connection="3conv")
+    x = jnp.asarray(np.random.default_rng(4).random((2, 8, 8, 3), np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    assert params["absolute_pos_embed"].shape == (1, 64, 20)
+    assert "0" in params["layers_0"]["conv"] and "4" in params["layers_0"]["conv"]
+    y = model.apply(variables, x)
+    assert y.shape == (2, 32, 32, 3)
+    # stochastic depth active in train mode: two rng draws differ
+    y1 = model.apply(variables, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = model.apply(variables, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert np.isfinite(np.asarray(y1)).all()

@@ -89,6 +89,47 @@ def test_converter_covers_all_params():
         assert tuple(s) == tuple(init_paths[k]), f"{k}: {s} vs {init_paths[k]}"
 
 
+@pytest.fixture(scope="module")
+def flagship_forward():
+    """Flax flagship forward on the manifest-synthesized weights (shared by
+    the f32 parity and bf16 drift tests; one compile)."""
+    from sisr_tpu.models.hit_sir_pro import flagship_config
+    from sisr_tpu.utils.param_synth import synth_state_dict
+
+    blob = np.load(GOLDEN / "hit_sir_flagship.npz")
+    manifest = [(n, tuple(int(v) for v in s.split(",")))
+                for n, s in zip(blob["manifest_names"], blob["manifest_shapes"])]
+    variables = convert_hit_sir_state_dict(synth_state_dict(manifest))
+    x = jnp.asarray(blob["input"].transpose(0, 2, 3, 1))
+
+    model = HiTSIR(**flagship_config())
+    y32 = np.asarray(model.apply(variables, x)).transpose(0, 3, 1, 2)
+    model_bf16 = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
+    y16 = np.asarray(model_bf16.apply(variables, x).astype(jnp.float32)
+                     ).transpose(0, 3, 1, 2)
+    return blob, y32, y16
+
+
+def test_flagship_forward_matches_reference(flagship_forward):
+    """Full-depth flagship (180/6x6/windows 4..64) vs the torch reference on
+    a 64x64 input — closes the 'does full-depth composition drift?' hole."""
+    blob, y32, _ = flagship_forward
+    ref = blob["output"]
+    assert y32.shape == ref.shape
+    rms = np.sqrt(np.mean((y32 - ref) ** 2))
+    assert np.abs(y32 - ref).max() < 2e-3, np.abs(y32 - ref).max()
+    assert rms < 2e-4, f"rms err {rms:.3e}"
+
+
+def test_flagship_bf16_drift_bound(flagship_forward):
+    """bf16 whole-model output vs f32: PSNR >= 40 dB on [0,1]-range output
+    (documents the serving-precision drift of the shipped bench config)."""
+    _, y32, y16 = flagship_forward
+    mse = float(np.mean((y32 - y16) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 40.0, f"bf16 drift PSNR {psnr:.1f} dB"
+
+
 def test_flagship_param_count():
     """Trainable parameter count parity: 10,220,014 (reference logs/.../模型参数量.txt)."""
     import jax

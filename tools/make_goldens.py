@@ -173,6 +173,58 @@ def make_model_goldens():
               f"params={sum(p.numel() for p in model.parameters())}")
 
 
+def make_flagship_golden():
+    """Flagship-scale forward golden (embed_dim 180, 6x6, windows 4..64).
+
+    The full state_dict would be ~40 MB — the .npz stores only the manifest
+    (names+shapes); values are rebuilt deterministically on both sides by
+    sisr_tpu.utils.param_synth.synth_state_dict.  The reference forward runs
+    in float32 (the reference builds f32 coordinate grids at forward time,
+    blocking a full-f64 pass); the parity test bounds rms against it and a
+    separate bound covers bf16 drift.
+    """
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, str(REPO))
+    from models.hit_sir_pro import HiT_SIR  # noqa: reference implementation
+    from sisr_tpu.utils.param_synth import synth_state_dict
+
+    torch.manual_seed(0)
+    model = HiT_SIR(
+        is_mult_size_conv_feat_extract=True,
+        is_channel_spatial_attn=True,
+        is_fusion=True,
+        embed_dim=180,
+        depths=[6] * 6,
+        num_heads=[6] * 6,
+        base_win_size=[8, 8],
+        mlp_ratio=2,
+        upsampler="nearest+conv",
+        upscale=4,
+        hier_win_ratios=[0.5, 1, 2, 4, 6, 8, 10, 12],
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    synth = synth_state_dict(manifest)
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in synth.items()})
+    # float32 forward — the reference builds f32 tensors internally at
+    # forward time (DynamicPosBias coordinate grids), so f64 won't compose
+
+    n_params = sum(p.numel() for p in model.parameters())
+    x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(7))
+    with torch.no_grad():
+        y = model(x)
+
+    blob = {
+        "input": x.numpy().astype(np.float32),
+        "output": y.numpy(),
+        "n_params": np.int64(n_params),
+        "manifest_names": np.array([k for k, _ in manifest]),
+        "manifest_shapes": np.array([",".join(map(str, s)) for _, s in manifest]),
+    }
+    np.savez_compressed(GOLDEN_DIR / "hit_sir_flagship.npz", **blob)
+    print(f"flagship: out={tuple(y.shape)} params={n_params}")
+
+
 def _install_torchvision_shim():
     """reference utils/utils.py imports torchvision.transforms.functional at
     module level; imresize itself never touches it."""
@@ -209,6 +261,35 @@ def make_resize_goldens():
     print("imresize goldens written")
 
 
+def make_metric_goldens():
+    """SSIM known-answer vectors from KAIR's MATLAB-parity calculate_ssim
+    (参考资料/KAIR_master/utils/utils_image.py:647-699) — an oracle
+    independent of ops/metrics.py for the gaussian_weights SSIM variant
+    (skimage's gaussian mode implements the same Wang-et-al algorithm)."""
+    sys.path.insert(0, REFERENCE)
+    import importlib
+
+    ui = importlib.import_module("参考资料.KAIR_master.utils.utils_image")
+
+    rng = np.random.default_rng(5)
+    base = rng.random((37, 45)).astype(np.float64)
+    cases = {
+        "noisy": np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1),
+        "shifted": np.clip(base * 0.9 + 0.03, 0, 1),
+        "blurred": np.clip((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3, 0, 1),
+    }
+    blob = {"a": base.astype(np.float32)}
+    for name, b in cases.items():
+        blob[f"b_{name}"] = b.astype(np.float32)
+        blob[f"ssim_{name}"] = np.float64(
+            ui.calculate_ssim(base * 255.0, b * 255.0, border=0))
+        blob[f"psnr_{name}"] = np.float64(
+            ui.calculate_psnr(base * 255.0, b * 255.0, border=0))
+    np.savez_compressed(GOLDEN_DIR / "metrics_matlab.npz", **blob)
+    print("metric goldens written:",
+          {k: float(v) for k, v in blob.items() if k.startswith("ssim")})
+
+
 def make_discriminator_goldens():
     _install_timm_shim()
     sys.path.insert(0, REFERENCE)
@@ -236,6 +317,15 @@ def make_discriminator_goldens():
 
 
 if __name__ == "__main__":
-    make_model_goldens()
-    make_resize_goldens()
-    make_discriminator_goldens()
+    import sys as _sys
+    only = _sys.argv[1] if len(_sys.argv) > 1 else None
+    if only in (None, "model"):
+        make_model_goldens()
+    if only in (None, "resize"):
+        make_resize_goldens()
+    if only in (None, "disc"):
+        make_discriminator_goldens()
+    if only in (None, "flagship"):
+        make_flagship_golden()
+    if only in (None, "metrics"):
+        make_metric_goldens()

@@ -47,25 +47,44 @@ def analyze(top: int = 40):
     with open(path, "rb") as fh:
         space.ParseFromString(fh.read())
 
+    def category(name: str) -> str:
+        n = name.lower()
+        if "custom-call" in n or "pallas" in n:
+            return "pallas-kernel"
+        if n.startswith(("%copy", "copy")):
+            return "copy"
+        if n.startswith(("%slice", "slice", "%dynamic", "dynamic")):
+            return "slice/gather"
+        if "convolution" in n or n.startswith(("%conv", "conv")):
+            return "convolution"
+        if "fusion" in n:
+            return "fusion"
+        return "other"
+
     for plane in space.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        ev_meta = {m.id: (m.name, m.display_name) for m in plane.event_metadata.values()}
         totals = defaultdict(float)
         counts = defaultdict(int)
+        cats = defaultdict(float)
         for line in plane.lines:
-            # XLA Ops line holds per-op events
-            if "XLA Op" not in line.name and "Steps" in line.name:
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                totals[name] += ev.duration_ps / 1e9  # -> ms
-                counts[name] += 1
+                name, disp = ev_meta.get(ev.metadata_id, ("?", "?"))
+                key = disp or name
+                ms = ev.duration_ps / 1e9
+                totals[key] += ms
+                counts[key] += 1
+                cats[category(name or disp)] += ms
         if not totals:
             continue
-        print(f"== plane: {plane.name} ==", flush=True)
+        print(f"== plane: {plane.name} (XLA Ops line) ==", flush=True)
         grand = sum(totals.values())
-        print(f"total accounted: {grand:.1f} ms over 3 runs", flush=True)
+        print(f"total accounted: {grand/3:.1f} ms per run", flush=True)
+        for c in sorted(cats, key=lambda k: -cats[k]):
+            print(f"  category {c}: {cats[c]/3:.2f} ms", flush=True)
         for name in sorted(totals, key=lambda k: -totals[k])[:top]:
             print(f"{totals[name]/3:8.3f} ms  x{counts[name]//3:<4} {name[:110]}",
                   flush=True)

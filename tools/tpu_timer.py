@@ -1,31 +1,13 @@
-"""Tunnel-safe TPU timing: amortize the host<->device round-trip.
+"""Tunnel-safe TPU timing — thin re-export of the library implementation.
 
-The axon tunnel adds ~30 ms to any synchronous fetch, so single-call timing
-is meaningless.  Chain N dependent executions and fetch once; the per-call
-device time is (t_chain - t_fetch) / N.
+Single source of truth: ``sisr_tpu.utils.profiling.device_time`` (chain N
+executions, fetch once; the axon tunnel adds ~30 ms per synchronous fetch so
+single-call timing is meaningless).
 """
 
-import time
+import sys
+from pathlib import Path
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def device_time(fn, *args, n: int = 20) -> float:
-    """Median-free min-of-3 per-call seconds for jitted fn(*args) -> array."""
-    f = jax.jit(fn)
-    out = f(*args)  # compile
-    jax.block_until_ready(out)
-
-    def chain(k):
-        t0 = time.perf_counter()
-        o = f(*args)
-        for _ in range(k - 1):
-            o = f(*args)
-        _ = jnp.asarray(o).ravel()[0] + 0.0
-        float(_)
-        return time.perf_counter() - t0
-
-    chain(2)  # warm
-    best = min(chain(n + 1) - chain(1) for _ in range(3))
-    return max(best, 1e-9) / n
+from sisr_tpu.utils.profiling import device_time  # noqa: F401
