@@ -227,12 +227,6 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool):
         k = (jnp.dot(q, w1_ref[...], preferred_element_type=f32)
              + jnp.dot(v, w2_ref[...], preferred_element_type=f32)
              + bb_ref[0, :]).astype(dt)
-        # degenerate pooling: P = pw * I — pw arrives as an SMEM f32 scalar
-        # (in band mode the pmatT slot carries (1,1) pw, not the matrix)
-        pw = pmatT_ref[0, 0]
-        pb = pb_ref[0, 0]
-        kp = (k.astype(f32) * pw + pb).astype(dt)
-        vp = (v.astype(f32) * pw + pb).astype(dt)
 
         def towin(t):  # (T, F) -> (nW, L, F)
             f = t.shape[-1]
@@ -243,7 +237,15 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool):
                 a, b, dimension_numbers=(((ca_,), (cb_,)), ((0,), (0,))),
                 preferred_element_type=f32)
 
-        qw, vw, kw, kpw, vpw = (towin(t) for t in (q, v, k, kp, vp))
+        qw, vw, kw = towin(q), towin(v), towin(k)
+        # degenerate pooling: P = pw * I — pw arrives as an SMEM f32 scalar
+        # (in band mode the pmatT slot carries (1,1) pw, not the matrix);
+        # the affine commutes with the window transpose, so pooled k/v are
+        # derived post-transpose (3 in-VMEM relayouts instead of 5)
+        pw = pmatT_ref[0, 0]
+        pb = pb_ref[0, 0]
+        kpw = (kw.astype(f32) * pw + pb).astype(dt)
+        vpw = (vw.astype(f32) * pw + pb).astype(dt)
         k_big = jnp.tile(kpw, (1, heads, 1)) * mask_ref[...][None]  # (nW, hl, half)
         v_big = jnp.tile(vpw, (1, heads, 1)) * mask_ref[...][None]
 
@@ -283,7 +285,7 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         const = lambda bi, i: (0, 0)
         x_block = (1, wh, wp, c)
         p_block = (1, wh, wp, 18)
-        s_spec = lambda bi, i: (bi, 0)
+        s_spec = lambda bi, i: (bi, 0, 0)
         kernel = _make_band_kernel(heads, ww, with_sca)
     else:
         grid = (b, nwh, nww)
@@ -291,7 +293,7 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         const = lambda bi, i, j: (0, 0)
         x_block = (1, wh, ww, c)
         p_block = (1, wh, ww, 18)
-        s_spec = lambda bi, i, j: (bi, 0)
+        s_spec = lambda bi, i, j: (bi, 0, 0)
         kernel = _make_kernel(heads, chunk, with_sca)
 
     ins = [x]
@@ -301,17 +303,20 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         patches = jnp.concatenate(
             [_conv_patches(x.mean(axis=-1)), _conv_patches(x.max(axis=-1))],
             axis=-1).astype(dt)
+        # s1/s2 ride as (b, 1, c) with (1, 1, c) blocks: a (1, c) block of a
+        # (b, c) array is an invalid Mosaic tiling for b > 1 (second-minor
+        # block dim must divide 8 or equal the array dim)
         ins += [patches, w9a.astype(dt), b9a.reshape(1, c).astype(dt),
                 w9m.astype(dt), b9m.reshape(1, c).astype(dt),
-                s1.reshape(b, c).astype(dt), s2.reshape(b, c).astype(dt)]
+                s1.reshape(b, 1, c).astype(dt), s2.reshape(b, 1, c).astype(dt)]
         in_specs += [
             pl.BlockSpec(p_block, win_spec),
             pl.BlockSpec((9, c), const),
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((9, c), const),
             pl.BlockSpec((1, c), const),
-            pl.BlockSpec((1, c), s_spec),
-            pl.BlockSpec((1, c), s_spec),
+            pl.BlockSpec((1, 1, c), s_spec),
+            pl.BlockSpec((1, 1, c), s_spec),
         ]
     # band mode: the pooling matrix is pw*I — ship just the scalar via SMEM
     pmat_in = (pmat[:1, :1].astype(jnp.float32).reshape(1, 1) if band
