@@ -142,10 +142,15 @@ def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
     o_ref[0] = out.astype(dt)
 
 
+import os
+
+
 def _pick_row_tile(h: int, itemsize: int = 2) -> int:
-    # th=8 measured fastest at flagship widths (th=16 with a raised VMEM
-    # limit was 3 ms/tile slower — bigger bands pipeline worse)
-    for th in (8, 4):
+    # th=16 re-measured fastest with the poly-gelu kernel (halo overcompute
+    # 25% vs 50% at th=8); SISR_FFN_TH overrides for A/B sweeps
+    env = os.environ.get("SISR_FFN_TH")
+    order = (int(env),) if env else (16, 8, 4)
+    for th in order:
         if h % th == 0:
             return th
     return 0

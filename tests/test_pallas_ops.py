@@ -164,3 +164,39 @@ def test_dwconv_vjp_matches_xla():
     for gc, gr in zip(g_custom, g_ref):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
                                    atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("shape,cout,act,with_res", [
+    ((1, 16, 12, 20), 20, "none", True),
+    ((2, 8, 24, 12), 8, "leaky", False),
+    ((1, 32, 16, 16), 64, "none", False),
+])
+def test_conv3x3_kernel_matches_xla(shape, cout, act, with_res):
+    from sisr_tpu.ops.pallas.conv3x3 import _conv3x3_pallas, conv3x3_reference
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, shape[-1], cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    res = (jnp.asarray(rng.normal(size=shape[:3] + (cout,)).astype(np.float32))
+           if with_res else None)
+    ref = conv3x3_reference(y, res, k, b, act)
+    got = _conv3x3_pallas(y, res, k, b, act, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_grad_matches_reference():
+    from sisr_tpu.ops.pallas.conv3x3 import conv3x3, conv3x3_reference
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(1, 8, 8, 6)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(1, 8, 8, 6)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 6, 6)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    g1 = jax.grad(lambda *a: (conv3x3(*a, "none", False) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(y, res, k, b)
+    g2 = jax.grad(lambda *a: (conv3x3_reference(*a, "none") ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(y, res, k, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, rtol=1e-4)
