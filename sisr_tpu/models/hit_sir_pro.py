@@ -144,23 +144,36 @@ class MultipleSizeConvExtract(nn.Module):
                           ((9 - kk.shape[1]) // 2,) * 2, (0, 0), (0, 0)))
              for kk, _ in kbs], axis=-1)
         packed_b = jnp.concatenate([bb for _, bb in kbs])
-        b_all = jax.lax.conv_general_dilated(
-            x.astype(dt), packed_k.astype(dt), (1, 1), ((4, 4), (4, 4)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + packed_b.astype(dt)
+        # explicit im2col + matmul: XLA's conv lowering for the 3-channel
+        # 9x9 packed conv picks a transposed layout costing ~1.2 ms/tile;
+        # the (H*W, 81*cin) patches matmul runs on the MXU at full K
+        bh0, hh0, ww0, _ = x.shape
+        xp = jnp.pad(x.astype(dt), ((0, 0), (4, 4), (4, 4), (0, 0)))
+        patches = jnp.concatenate(
+            [xp[:, i:i + hh0, j:j + ww0, :] for i in range(9)
+             for j in range(9)], axis=-1)
+        b_all = (patches.reshape(bh0, hh0, ww0, 81 * cin)
+                 @ packed_k.astype(dt).reshape(81 * cin, 4 * c)
+                 + packed_b.astype(dt))
 
         gk, gb = Conv2dParams(1, cin, c, name="conv_x")()
         gate = x.astype(dt) @ gk[0, 0].astype(dt) + gb.astype(dt)
-
-        bh, hh, wwd, _ = b_all.shape
-        b5 = b_all.reshape(bh, hh, wwd, 4, c)
-        gated = b5 * jax.nn.sigmoid(gate[..., None, :] * b5) + b5
 
         # The reference declares (and checkpoints) an unused LayerNorm here
         # (:62); materialize it for state-dict/param-count parity.
         _ = _layer_norm("norm", self.dtype)(jnp.zeros((1, c), dtype=self.dtype))
 
+        # Per-branch gating on channel slices + the 1x1 projection split into
+        # four summed (c, c) matmuls: equals gating the (..., 4, c) stack and
+        # projecting (..., 4c) @ (4c, c), but never materializes a 720-channel
+        # tensor (whose forced relayout cost ~2.3 ms/tile).
         lk, lb = Conv2dParams(1, 4 * c, c, name="conv_last")()
-        return gated.reshape(bh, hh, wwd, 4 * c) @ lk[0, 0].astype(dt) + lb.astype(dt)
+        out = lb.astype(dt)
+        for k in range(4):
+            p = jax.lax.slice_in_dim(b_all, k * c, (k + 1) * c, axis=3)
+            g = p * jax.nn.sigmoid(gate * p) + p
+            out = out + g @ lk[0, 0, k * c:(k + 1) * c].astype(dt)
+        return out
 
 
 class UnionAttention(nn.Module):
@@ -174,27 +187,47 @@ class UnionAttention(nn.Module):
     channels: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+    def setup(self):
+        self.conv1 = Conv2dParams(3, 2, 1)
+        self.conv2 = Conv2dParams(3, 2, 1)
+        self.conv3 = Conv2dParams(3, 2, 1)
+        self.conv_last = Conv2dParams(3, self.channels, self.channels)
+
+    def raw(self):
+        """Raw conv params for the fused Fusion kernel path."""
+        return (self.conv1(), self.conv2(), self.conv3(), self.conv_last())
+
+    def __call__(self, x: jnp.ndarray,
+                 pools: tuple | None = None) -> jnp.ndarray:
+        dt = self.dtype
+
+        def conv(t, kb):
+            k, bias = kb
+            return jax.lax.conv_general_dilated(
+                t.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(dt)
+
+        # pool pairs: computed here, or precomputed by the Fusion-level
+        # Pallas kernel (ops/pallas/fusion_ops.py) and passed in
+        if pools is None:
+            cp = jnp.stack([x.mean(axis=-1), x.max(axis=-1)], axis=-1)
+            hp = jnp.stack([x.mean(axis=1), x.max(axis=1)], axis=-1)
+            wp = jnp.stack([x.mean(axis=2), x.max(axis=2)], axis=-1)
+        else:
+            cp, hp, wp = pools  # (B,H,W,2), (B,W,C,2), (B,H,C,2)
 
         # channel pool: grid (H, W)
-        cp = jnp.stack([x.mean(axis=-1), x.max(axis=-1)], axis=-1)  # (B,H,W,2)
-        c_att = _conv(1, 3, "conv1", self.dtype)(cp)  # (B,H,W,1)
+        c_att = conv(cp, self.conv1())  # (B,H,W,1)
 
         # height pool: conv over grid (C, W)  [torch views (b,1,c,w), :124-126]
-        hp = jnp.stack([x.mean(axis=1), x.max(axis=1)], axis=-1)  # (B,W,C,2)
-        hp = hp.transpose(0, 2, 1, 3)  # (B,C,W,2)
-        h_att = _conv(1, 3, "conv2", self.dtype)(hp)[..., 0]  # (B,C,W)
+        h_att = conv(hp.transpose(0, 2, 1, 3), self.conv2())[..., 0]  # (B,C,W)
         h_att = h_att.transpose(0, 2, 1)[:, None, :, :]  # (B,1,W,C)
 
         # width pool: conv over grid (C, H)  [torch views (b,1,c,h), :128-130]
-        wp = jnp.stack([x.mean(axis=2), x.max(axis=2)], axis=-1)  # (B,H,C,2)
-        wp = wp.transpose(0, 2, 1, 3)  # (B,C,H,2)
-        w_att = _conv(1, 3, "conv3", self.dtype)(wp)[..., 0]  # (B,C,H)
+        w_att = conv(wp.transpose(0, 2, 1, 3), self.conv3())[..., 0]  # (B,C,H)
         w_att = w_att.transpose(0, 2, 1)[:, :, None, :]  # (B,H,1,C)
 
-        return _conv(c, 3, "conv_last", self.dtype)(c_att + h_att + w_att)
+        return conv(c_att + h_att + w_att, self.conv_last())
 
 
 class Fusion(nn.Module):
@@ -211,11 +244,21 @@ class Fusion(nn.Module):
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        a_att = UnionAttention(self.channels, self.dtype, name="union_attention1")(a)
-        gate = jax.nn.sigmoid(
-            UnionAttention(self.channels, self.dtype, name="union_attention2")(a + b)
-        )
-        b_att = UnionAttention(self.channels, self.dtype, name="union_attention3")(b)
+        import os
+        from sisr_tpu.ops.pallas.fusion_ops import fused_fusion, supports_shape
+
+        ua1 = UnionAttention(self.channels, self.dtype, name="union_attention1")
+        ua2 = UnionAttention(self.channels, self.dtype, name="union_attention2")
+        ua3 = UnionAttention(self.channels, self.dtype, name="union_attention3")
+        if (jax.default_backend() == "tpu" and supports_shape(a.shape[1])
+                and os.environ.get("SISR_FUSED_UA", "1") == "1"):
+            # whole module in three Pallas passes (pools, UA maps with the
+            # linear conv_last decomposition, gating); a + b, the broadcast
+            # conv_last inputs and the pool relayouts never touch HBM
+            return fused_fusion(a, b, (ua1.raw(), ua2.raw(), ua3.raw()), True)
+        a_att = ua1(a)
+        gate = jax.nn.sigmoid(ua2(a + b))
+        b_att = ua3(b)
         return a * jax.nn.sigmoid(a_att * gate) + b * jax.nn.sigmoid(b_att * (1.0 - gate))
 
 

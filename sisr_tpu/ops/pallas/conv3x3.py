@@ -53,11 +53,19 @@ def _conv_kernel(*refs, th: int, with_res: bool, act: str):
                         axis=0)                      # (th+2, W, Cin)
     ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
     cols = [ap[:, j:j + wd, :] for j in range(3)]    # 3 column shifts
-    acc = jnp.zeros((th * wd, k_ref.shape[2]), f32) + b_ref[0].astype(f32)
-    for i in range(3):
-        for j in range(3):
-            acc += jnp.dot(cols[j][i:i + th].reshape(th * wd, cin),
-                           k_ref[i * 3 + j], preferred_element_type=f32)
+    taps = [cols[j][i:i + th].reshape(th * wd, cin)
+            for i in range(3) for j in range(3)]
+    if cin < 128:
+        # narrow channels (the x4-res head convs run Cin=64): nine K=cin
+        # matmuls half-fill the MXU's 128-deep contraction; pack the taps
+        # into one (th*W, 9*cin) im2col block so K rides full 128 passes
+        im = jnp.concatenate(taps, axis=-1)
+        acc = (jnp.dot(im, k_ref[...].reshape(9 * cin, -1),
+                       preferred_element_type=f32) + b_ref[0].astype(f32))
+    else:
+        acc = jnp.zeros((th * wd, k_ref.shape[2]), f32) + b_ref[0].astype(f32)
+        for t in range(9):
+            acc += jnp.dot(taps[t], k_ref[t], preferred_element_type=f32)
     if act == "leaky":
         acc = jax.nn.leaky_relu(acc, 0.01)
     out = acc.reshape(th, wd, -1)

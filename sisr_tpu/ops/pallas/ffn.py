@@ -125,13 +125,16 @@ def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
     hp = jnp.pad(hm, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
 
     # materialize the K column shifts once (unaligned sublane relayouts);
-    # row shifts are then free slices of the leading dim — 5 relayouts, not 25
+    # row shifts are then free slices of the leading dim — 5 relayouts, not
+    # 25.  The taps accumulate as per-column expression TREES rather than 25
+    # sequential acc updates: Mosaic keeps a tree's partials in registers,
+    # cutting the accumulator's VMEM read/write traffic ~5x (measured 0.10
+    # ms/kernel, tools/bench_ffn_ablate.py).
     cols = [hp[:, j:j + wd, :] for j in range(K)]
-    acc = jnp.zeros((th, wd, ch), f32)
-    for i in range(K):
-        for j in range(K):
-            acc += (cols[j][i:i + th].astype(f32)
-                    * dw_ref[i * K + j, :].astype(f32))
+    dwf = dw_ref[...]
+    sj = [sum(cols[j][i:i + th].astype(f32) * dwf[i * K + j, :].astype(f32)
+              for i in range(K)) for j in range(K)]
+    acc = sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
     dwout = (acc + dwb_ref[0].astype(f32)).astype(dt)
 
     h2 = h[PAD // 2:PAD // 2 + th] + _gelu_kernel(dwout)

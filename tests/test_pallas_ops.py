@@ -170,6 +170,7 @@ def test_dwconv_vjp_matches_xla():
     ((1, 16, 12, 20), 20, "none", True),
     ((2, 8, 24, 12), 8, "leaky", False),
     ((1, 32, 16, 16), 64, "none", False),
+    ((1, 8, 16, 144), 32, "none", True),   # >=128 channels: 9-matmul path
 ])
 def test_conv3x3_kernel_matches_xla(shape, cout, act, with_res):
     from sisr_tpu.ops.pallas.conv3x3 import _conv3x3_pallas, conv3x3_reference
@@ -200,3 +201,85 @@ def test_conv3x3_grad_matches_reference():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fusion_pools_kernel_matches_reference():
+    from sisr_tpu.ops.pallas.fusion_ops import (_fusion_pools_pallas,
+                                                fusion_pools_reference)
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(2, 16, 12, 20)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 16, 12, 20)).astype(np.float32))
+    refs = fusion_pools_reference(a, b)
+    gots = _fusion_pools_pallas(a, b, interpret=True)
+    for got, ref in zip(gots, refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_union_attention_pools_path_equivalent():
+    """UA fed precomputed pools == UA computing its own pools."""
+    from sisr_tpu.models.hit_sir_pro import UnionAttention
+    from sisr_tpu.ops.pallas.fusion_ops import fusion_pools_reference
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(1, 8, 8, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 8, 8, 12)).astype(np.float32))
+    ua = UnionAttention(12)
+    v = ua.init(jax.random.PRNGKey(0), a)
+    cp3, hp3, wp3 = fusion_pools_reference(a, b)
+    k = 1  # the a + b source
+    pools = tuple(t[:, 2 * k:2 * k + 2].astype(a.dtype).transpose(0, 2, 3, 1)
+                  for t in (cp3, hp3, wp3))
+    ref = ua.apply(v, a + b)
+    got = ua.apply(v, a, pools=pools)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _random_ua_raws(rng, c, n=3):
+    raws = []
+    for _ in range(n):
+        mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+        raws.append(((mk(3, 3, 2, 1), mk(1)), (mk(3, 3, 2, 1), mk(1)),
+                     (mk(3, 3, 2, 1), mk(1)), (mk(3, 3, c, c), mk(c))))
+    return raws
+
+
+def test_fused_fusion_reference_matches_module():
+    """The folded conv_last decomposition == the Fusion module math."""
+    from sisr_tpu.models.hit_sir_pro import Fusion
+    from sisr_tpu.ops.pallas.fusion_ops import fused_fusion_reference
+
+    rng = np.random.default_rng(4)
+    c = 12
+    a = jnp.asarray(rng.normal(size=(1, 16, 8, c)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 16, 8, c)).astype(np.float32))
+    fus = Fusion(c)
+    v = fus.init(jax.random.PRNGKey(0), a, b)
+    ref = fus.apply(v, a, b)
+
+    def ua_raw(name):
+        p = v["params"][name]
+        return tuple((p[k]["kernel"], p[k]["bias"])
+                     for k in ("conv1", "conv2", "conv3", "conv_last"))
+
+    got = fused_fusion_reference(
+        a, b, tuple(ua_raw(f"union_attention{i}") for i in (1, 2, 3)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_fusion_kernels_match_reference():
+    from sisr_tpu.ops.pallas.fusion_ops import (_fused_fusion_pallas,
+                                                fused_fusion_reference)
+
+    rng = np.random.default_rng(5)
+    c = 12
+    a = jnp.asarray(rng.normal(size=(2, 16, 8, c)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 16, 8, c)).astype(np.float32))
+    raws = tuple(_random_ua_raws(rng, c))
+    ref = fused_fusion_reference(a, b, raws)
+    got = _fused_fusion_pallas(a, b, raws, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
