@@ -750,6 +750,7 @@ class NearestConvUp2(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    act: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -773,8 +774,10 @@ class NearestConvUp2(nn.Module):
         b_full = jnp.repeat(bias, 4)
 
         from sisr_tpu.ops.pallas.conv3x3 import conv3x3
+        # self.act folds the caller's post-shuffle leaky-relu into the conv
+        # (elementwise, so it commutes with pixel_shuffle)
         y = conv3x3(x.astype(self.dtype), None, k_full.astype(self.dtype),
-                    b_full.astype(self.dtype), "none",
+                    b_full.astype(self.dtype), self.act,
                     _use_conv_kernel(x.shape[1]))
         return pixel_shuffle(y, 2)
 
@@ -895,10 +898,9 @@ class HiTSIR(nn.Module):
             y = fuse(deep, shallow)
             y = FusedConv3x3(self.num_feat, "leaky", dt,
                              name="conv_before_upsample")(y)
-            y = nn.leaky_relu(NearestConvUp2(self.num_feat, dt, name="conv_up1")(y), 0.2)
-            y = nn.leaky_relu(NearestConvUp2(self.num_feat, dt, name="conv_up2")(y), 0.2)
-            hr = nn.leaky_relu(FusedConv3x3(self.num_feat, "none", dt,
-                                            name="conv_hr")(y), 0.2)
+            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up1")(y)
+            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up2")(y)
+            hr = FusedConv3x3(self.num_feat, "leaky2", dt, name="conv_hr")(y)
             y = FusedConv3x3(cin, "none", dt, name="conv_last")(hr)
         else:
             # denoise / artifact-removal head (reference :1260-1262, :1335-1340)

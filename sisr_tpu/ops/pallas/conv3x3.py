@@ -34,6 +34,8 @@ def conv3x3_reference(y, res, kernel, bias, act: str = "none"):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(dt)
     if act == "leaky":
         out = jax.nn.leaky_relu(out, 0.01)
+    elif act == "leaky2":
+        out = jax.nn.leaky_relu(out, 0.2)
     if res is not None:
         out = res + out
     return out
@@ -68,6 +70,8 @@ def _conv_kernel(*refs, th: int, with_res: bool, act: str):
             acc += jnp.dot(taps[t], k_ref[t], preferred_element_type=f32)
     if act == "leaky":
         acc = jax.nn.leaky_relu(acc, 0.01)
+    elif act == "leaky2":
+        acc = jax.nn.leaky_relu(acc, 0.2)
     out = acc.reshape(th, wd, -1)
     if with_res:
         out = res_ref[0].astype(f32) + out

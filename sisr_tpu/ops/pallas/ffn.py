@@ -149,8 +149,8 @@ import os
 
 
 def _pick_row_tile(h: int, itemsize: int = 2) -> int:
-    # th=16 re-measured fastest with the poly-gelu kernel (halo overcompute
-    # 25% vs 50% at th=8); SISR_FFN_TH overrides for A/B sweeps
+    # th=16 measured fastest (th=32: 35.9 vs 33.7 ms/tile; th=8: more halo
+    # overcompute); SISR_FFN_TH overrides for A/B sweeps
     env = os.environ.get("SISR_FFN_TH")
     order = (int(env),) if env else (16, 8, 4)
     for th in order:
@@ -204,7 +204,8 @@ def _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
         out_shape=jax.ShapeDtypeStruct((b, h, wd, c), attn.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get("SISR_FFN_VMEM_MB", "64"))
+            * 1024 * 1024),
         interpret=interpret,
     )(attn, halo(attn), shortcut, halo(shortcut),
       ln1_s.reshape(1, c), ln1_b.reshape(1, c),

@@ -171,6 +171,7 @@ def test_dwconv_vjp_matches_xla():
     ((2, 8, 24, 12), 8, "leaky", False),
     ((1, 32, 16, 16), 64, "none", False),
     ((1, 8, 16, 144), 32, "none", True),   # >=128 channels: 9-matmul path
+    ((1, 16, 8, 12), 12, "leaky2", False),  # slope-0.2 head activation
 ])
 def test_conv3x3_kernel_matches_xla(shape, cout, act, with_res):
     from sisr_tpu.ops.pallas.conv3x3 import _conv3x3_pallas, conv3x3_reference

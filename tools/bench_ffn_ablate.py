@@ -25,6 +25,52 @@ K = 5
 PAD = 4
 
 
+def kernel_split2(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
+                  b1_ref, dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref,
+                  ln2b_ref, o_ref, *, h_img, th):
+    """Two independent half-band chains after the shared fc1: Mosaic may
+    co-schedule half A's fc2 (MXU) with half B's dwconv taps (VPU)."""
+    wd = o_ref.shape[2]
+    c = o_ref.shape[3]
+    ch = w1_ref.shape[1]
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    hh = th // 2
+
+    a = jnp.concatenate([ah_ref[0, 0, 0:2], a_ref[0], ah_ref[0, 0, 2:4]], axis=0)
+    s = jnp.concatenate([sh_ref[0, 0, 0:2], s_ref[0], sh_ref[0, 0, 2:4]], axis=0)
+    x = s + ffn.layer_norm(a, ln1s_ref[0], ln1b_ref[0])
+
+    lin1 = jnp.dot(x.reshape((th + PAD) * wd, c), w1_ref[...],
+                   preferred_element_type=f32) + b1_ref[0].astype(f32)
+    h = ffn._gelu_kernel(lin1).astype(dt).reshape(th + PAD, wd, ch)
+
+    base = pl.program_id(1) * th - PAD // 2
+    row = base + jax.lax.broadcasted_iota(jnp.int32, (th + PAD, 1, 1), 0)
+    valid = jnp.logical_and(row >= 0, row < h_img)
+    hm = jnp.where(valid, h, jnp.zeros_like(h))
+    hp = jnp.pad(hm, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
+    cols = [hp[:, j:j + wd, :] for j in range(K)]
+    dwf = dw_ref[...]
+
+    def half(r0):
+        sj = [sum(cols[j][r0 + i:r0 + i + hh].astype(f32)
+                  * dwf[i * K + j, :].astype(f32)
+                  for i in range(K)) for j in range(K)]
+        acc = sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
+        dwout = ffn._gelu_kernel((acc + dwb_ref[0].astype(f32)).astype(dt))
+        h2 = h[PAD // 2 + r0:PAD // 2 + r0 + hh] + dwout
+        y = (jnp.dot(h2.reshape(hh * wd, ch), w2_ref[...],
+                     preferred_element_type=f32)
+             + b2_ref[0].astype(f32)).astype(dt)
+        return (x[PAD // 2 + r0:PAD // 2 + r0 + hh]
+                + ffn.layer_norm(y.reshape(hh, wd, c), ln2s_ref[0],
+                                 ln2b_ref[0]))
+
+    o_ref[0, 0:hh] = half(0).astype(dt)
+    o_ref[0, hh:th] = half(hh).astype(dt)
+
+
 def kernel_v(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
              b1_ref, dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
              o_ref, *, h_img, th, stages):
@@ -100,7 +146,10 @@ def build(stages, th=16):
                           for r in range(nb)], axis=1)
         return jnp.concatenate([tops, bots], axis=2)
 
-    kern = functools.partial(kernel_v, h_img=h, th=th, stages=stages)
+    if stages == "split2":
+        kern = functools.partial(kernel_split2, h_img=h, th=th)
+    else:
+        kern = functools.partial(kernel_v, h_img=h, th=th, stages=stages)
     const = lambda bi, ri: (0, 0)
     body = pl.BlockSpec((1, th, wd, c), lambda bi, ri: (bi, ri, 0, 0))
     hspec = pl.BlockSpec((1, 1, 4, wd, c), lambda bi, ri: (bi, ri, 0, 0, 0))
@@ -135,13 +184,8 @@ def main():
             r(5, 5, ch), r(ch), r(ch, c), r(c), r(c), r(c))
 
     variants = [
-        ("full(taps25)", frozenset({"ln1", "gelu", "taps", "taps25", "ln2"})),
         ("grouped", frozenset({"ln1", "gelu", "taps", "grouped", "ln2"})),
-        ("grouped-bf16", frozenset({"ln1", "gelu", "taps", "grouped",
-                                    "bf16cols", "ln2"})),
-        ("bigsum", frozenset({"ln1", "gelu", "taps", "bigsum", "ln2"})),
-        ("bigsum-bf16", frozenset({"ln1", "gelu", "taps", "bigsum",
-                                   "bf16cols", "ln2"})),
+        ("split2", "split2"),
     ]
     if "--base" in sys.argv:
         variants += [
