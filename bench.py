@@ -38,6 +38,9 @@ def main():
     tile = int(os.environ.get("BENCH_TILE", "192"))
     chunk = int(os.environ.get("BENCH_CHUNK", "1"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # overlap 8 measured seam-parity-neutral vs 16 (tools/bench_overlap_quality.py:
+    # 25.39 vs 25.13 dB against the whole-image forward, random-init worst case)
+    overlap = int(os.environ.get("BENCH_OVERLAP", "8"))
 
     model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -46,7 +49,7 @@ def main():
     variables = jax.tree.map(lambda p: p.astype(jnp.bfloat16), variables)
 
     runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
-                     overlap=16, chunk=chunk, out_dtype=jnp.float32)
+                     overlap=overlap, chunk=chunk, out_dtype=jnp.float32)
 
     img = jnp.asarray(np.random.default_rng(0).random((h, w, 3), dtype=np.float32))
     img = jax.device_put(img)
@@ -72,6 +75,7 @@ def main():
         "latency_ms": round(latency * 1e3, 1),
         "tile": tile,
         "chunk": chunk,
+        "overlap": overlap,
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
     }))

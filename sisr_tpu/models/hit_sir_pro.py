@@ -250,7 +250,8 @@ class Fusion(nn.Module):
         ua1 = UnionAttention(self.channels, self.dtype, name="union_attention1")
         ua2 = UnionAttention(self.channels, self.dtype, name="union_attention2")
         ua3 = UnionAttention(self.channels, self.dtype, name="union_attention3")
-        if (jax.default_backend() == "tpu" and supports_shape(a.shape[1])
+        if (jax.default_backend() == "tpu"
+                and supports_shape(a.shape[1], a.shape[2])
                 and os.environ.get("SISR_FUSED_UA", "1") == "1"):
             # whole module in three Pallas passes (pools, UA maps with the
             # linear conv_last decomposition, gating); a + b, the broadcast

@@ -77,16 +77,19 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
             hp_ref[0, 2 * k] *= 1.0 / h
 
 
-def _pick_row_tile(h: int) -> int:
+def _pick_row_tile(h: int, wd: int = 192) -> int:
+    """Largest row tile dividing h whose band area stays VMEM-friendly (the
+    gate kernel holds ~10 f32 band temps; cap th*wd near the 192-tile
+    default of 3072)."""
     for th in (16, 8, 4):
-        if h % th == 0:
+        if h % th == 0 and th * wd <= 4096:
             return th
-    return 0
+    return 4 if h % 4 == 0 and 4 * wd <= 8192 else 0
 
 
 def _fusion_pools_pallas(a, b, interpret: bool = False):
     bsz, h, wd, c = a.shape
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, wd)
     assert th, f"no row tile for H={h}"
     nb = h // th
     dt = a.dtype
@@ -135,8 +138,11 @@ def _bwd(use_pallas, saved, dy):
 fusion_pools.defvjp(_fwd, _bwd)
 
 
-def supports_shape(h: int) -> bool:
-    return _pick_row_tile(h) > 0
+def supports_shape(h: int, w: int | None = None) -> bool:
+    """Fused-Fusion eligibility: row-tileable and, for the single-invocation
+    maps kernel (full-image f32 slabs in VMEM), a bounded area."""
+    w = h if w is None else w
+    return _pick_row_tile(h, w) > 0 and h * w <= 640_000
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +330,7 @@ def _pack_params(raws, c, dt):
 
 def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
     bsz, h, wd, c = a.shape
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, wd)
     nb = h // th
     dt = a.dtype
     f32 = jnp.float32
@@ -390,7 +396,7 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct(a.shape, dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a, b, p27, k1blk, hout3, wout3, hcorr, wcorr)
 

@@ -167,3 +167,43 @@ def test_data_parallel_step_on_mesh(tiny_model):
     _, loss_sd = step(state_sd, jnp.asarray(np.asarray(lr_imgs)),
                       jnp.asarray(np.asarray(hr_imgs)), jax.random.PRNGKey(0))
     assert abs(float(loss) - float(loss_sd)) < 1e-5
+
+
+def test_train_steps_match_torch_reference():
+    """Six Adam steps lockstep with the recorded torch run (same init
+    weights, same batches): verifies model forward, gradients, L1 loss and
+    the optimizer update in one shot.  Golden: tools/make_goldens.py
+    make_train_goldens (reference loop experiments/experiment.py:326-350)."""
+    from pathlib import Path
+
+    import optax
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+    from sisr_tpu.models.torch_port import convert_hit_sir_state_dict
+
+    blob = np.load(Path(__file__).parent / "golden" / "train_steps_tiny_full.npz")
+    sd = {k[len("sd__"):]: blob[k] for k in blob.files if k.startswith("sd__")}
+    model = HiTSIR(
+        is_mult_size_conv_feat_extract=True, is_channel_spatial_attn=True,
+        is_fusion=True, embed_dim=20, depths=(3,), num_heads=(2,),
+        base_win_size=(4, 4), mlp_ratio=2, upsampler="nearest+conv",
+        upscale=4, hier_win_ratios=(0.5, 1, 2))
+    params = convert_hit_sir_state_dict(sd)["params"]
+    opt = optax.adam(2e-4)  # torch.optim.Adam defaults (b1 .9, b2 .999, eps 1e-8)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            return jnp.abs(model.apply({"params": p}, x) - y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(blob["lrs"].shape[0]):
+        x = jnp.asarray(blob["lrs"][i].transpose(0, 2, 3, 1))
+        y = jnp.asarray(blob["hrs"][i].transpose(0, 2, 3, 1))
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, blob["losses"], rtol=3e-4, atol=1e-6)

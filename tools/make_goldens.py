@@ -316,6 +316,52 @@ def make_discriminator_goldens():
           f"params={sum(p.numel() for p in model.parameters())}")
 
 
+def make_train_goldens():
+    """Six Adam steps of the reference model on fixed batches: the oracle for
+    step-for-step training parity (model + grads + optimizer + L1 loss).
+    Reference training loop semantics: experiments/experiment.py:326-350
+    (L1Loss mean reduction, torch.optim.Adam defaults)."""
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    from models.hit_sir_pro import HiT_SIR
+
+    torch.manual_seed(7)
+    model = HiT_SIR(
+        is_mult_size_conv_feat_extract=True,
+        is_channel_spatial_attn=True,
+        is_fusion=True,
+        embed_dim=20,
+        depths=[3],
+        num_heads=[2],
+        base_win_size=[4, 4],
+        mlp_ratio=2,
+        upsampler="nearest+conv",
+        upscale=4,
+        hier_win_ratios=[0.5, 1, 2],
+    )
+    model.train()
+    rng = np.random.default_rng(11)
+    n_steps = 6
+    lrs = rng.random((n_steps, 2, 3, 16, 16)).astype(np.float32)
+    hrs = rng.random((n_steps, 2, 3, 64, 64)).astype(np.float32)
+    # .copy(): numpy() views alias the live tensors, which Adam then
+    # mutates in place — without the copy the npz records FINAL weights
+    sd = {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+    opt = torch.optim.Adam(model.parameters(), lr=2e-4)
+    losses = []
+    for i in range(n_steps):
+        out = model(torch.from_numpy(lrs[i]))
+        loss = (out - torch.from_numpy(hrs[i])).abs().mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+    np.savez(GOLDEN_DIR / "train_steps_tiny_full.npz",
+             **{f"sd__{k}": v for k, v in sd.items()},
+             lrs=lrs, hrs=hrs, losses=np.asarray(losses, np.float64))
+    print("train losses:", losses)
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1] if len(_sys.argv) > 1 else None
@@ -329,3 +375,5 @@ if __name__ == "__main__":
         make_flagship_golden()
     if only in (None, "metrics"):
         make_metric_goldens()
+    if only in (None, "train"):
+        make_train_goldens()
