@@ -41,6 +41,10 @@ def main():
     # overlap 8 measured seam-parity-neutral vs 16 (tools/bench_overlap_quality.py:
     # 25.39 vs 25.13 dB against the whole-image forward, random-init worst case)
     overlap = int(os.environ.get("BENCH_OVERLAP", "8"))
+    # bf16 blend canvas: ~54 dB quantization floor, above the 48 dB of the
+    # uint8 serving output (use f32 for float-metric evals) — 2289 vs 2363 ms
+    out_dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_OUT_DTYPE", "bf16")]
 
     model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -49,7 +53,7 @@ def main():
     variables = jax.tree.map(lambda p: p.astype(jnp.bfloat16), variables)
 
     runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
-                     overlap=overlap, chunk=chunk, out_dtype=jnp.float32)
+                     overlap=overlap, chunk=chunk, out_dtype=out_dt)
 
     img = jnp.asarray(np.random.default_rng(0).random((h, w, 3), dtype=np.float32))
     img = jax.device_put(img)
