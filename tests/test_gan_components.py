@@ -104,3 +104,54 @@ def test_lpips_wiring():
     assert abs(float(same[0])) < 1e-6
     # random-init lin heads have arbitrary sign — just require a nonzero response
     assert abs(float(diff[0])) > 1e-6
+
+
+def test_gan_generator_steps_match_torch_reference():
+    """Four generator Adam steps of the full GAN composite loss — pixel L1
+    + 1.0 x VGG19 perceptual + 0.1 x adversarial BCE vs a frozen
+    spectral-norm discriminator — lockstep with the recorded torch run
+    (tools/make_goldens.py make_gan_train_goldens; reference loop
+    experiments/hitsir_pro_gan_experiment.py:117-143)."""
+    import optax
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+    from sisr_tpu.models.torch_port import convert_hit_sir_state_dict
+    from sisr_tpu.models.vgg import PerceptualLoss, convert_torchvision_vgg
+
+    blob = np.load(GOLDEN / "gan_train_steps_tiny_full.npz")
+    pick = lambda pre: {k[len(pre):]: blob[k] for k in blob.files
+                        if k.startswith(pre)}
+    g = HiTSIR(
+        is_mult_size_conv_feat_extract=True, is_channel_spatial_attn=True,
+        is_fusion=True, embed_dim=20, depths=(3,), num_heads=(2,),
+        base_win_size=(4, 4), mlp_ratio=2, upsampler="nearest+conv",
+        upscale=4, hier_win_ratios=(0.5, 1, 2))
+    params = convert_hit_sir_state_dict(pick("sd__"))["params"]
+    d_vars = convert_discriminator_state_dict(pick("dsd__"))
+    disc = UNetDiscriminatorSN()
+    cfg19 = tuple(c if c == "M" else c // 8 for c in
+                  (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                   512, 512, 512, 512, "M", 512, 512, 512, 512, "M"))
+    perc = PerceptualLoss(variables=convert_torchvision_vgg(pick("vsd__")),
+                          cfg=cfg19)
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            sr = g.apply({"params": p}, x)
+            logits = disc.apply(d_vars, sr, False)
+            return (jnp.abs(sr - y).mean() + 1.0 * perc(sr, y)
+                    + 0.1 * gan_loss(logits, True))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(blob["lrs"].shape[0]):
+        x = jnp.asarray(blob["lrs"][i].transpose(0, 2, 3, 1))
+        y = jnp.asarray(blob["hrs"][i].transpose(0, 2, 3, 1))
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, blob["losses"], rtol=3e-4, atol=1e-6)

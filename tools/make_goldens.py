@@ -362,6 +362,97 @@ def make_train_goldens():
     print("train losses:", losses)
 
 
+def make_gan_train_goldens():
+    """Four generator Adam steps of the full GAN composite loss — pixel L1 +
+    1.0 x VGG19 perceptual + 0.1 x adversarial BCE against a frozen
+    spectral-norm UNet discriminator — recorded loss-for-loss (reference
+    experiments/hitsir_pro_gan_experiment.py:117-143; KAIR models/loss.py
+    PerceptualLoss/GANLoss).  The discriminator is eval-frozen so its
+    spectral u/v stream stays fixed (its own update path is covered by the
+    discriminator parity + power-iteration tests)."""
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, str(REPO / "tools"))
+    import importlib
+
+    import torch.nn.functional as F
+    from make_vgg_goldens import VGG19_CFG, make_features, tap_outputs
+    from models.hit_sir_pro import HiT_SIR
+
+    disc_mod = importlib.import_module(
+        "参考资料.KAIR_master.models.network_discriminator")
+
+    torch.manual_seed(21)
+    g = HiT_SIR(
+        is_mult_size_conv_feat_extract=True,
+        is_channel_spatial_attn=True,
+        is_fusion=True,
+        embed_dim=20,
+        depths=[3],
+        num_heads=[2],
+        base_win_size=[4, 4],
+        mlp_ratio=2,
+        upsampler="nearest+conv",
+        upscale=4,
+        hier_win_ratios=[0.5, 1, 2],
+    )
+    d = disc_mod.Discriminator_UNet()
+    settle = torch.rand(1, 3, 32, 32, generator=torch.Generator().manual_seed(5))
+    d.train()
+    with torch.no_grad():
+        for _ in range(20):
+            d(settle)
+    d.eval()
+    for p_ in d.parameters():
+        p_.requires_grad_(False)
+
+    vgg = make_features(VGG19_CFG)
+    with torch.no_grad():
+        for p_ in vgg.parameters():
+            p_.copy_(torch.randn_like(p_) * 0.05)
+    for p_ in vgg.parameters():
+        p_.requires_grad_(False)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    taps19 = (2, 7, 16, 25, 34)
+    pweights = [0.1, 0.1, 1.0, 1.0, 1.0]
+
+    def perceptual(a, b):
+        fa = tap_outputs(vgg, (a - mean) / std, taps19)
+        fb = tap_outputs(vgg, (b.detach() - mean) / std, taps19)
+        return sum(w * F.l1_loss(x_, y_) for w, x_, y_ in zip(pweights, fa, fb))
+
+    bce = torch.nn.BCEWithLogitsLoss()
+
+    gsd = {k: v.detach().numpy().copy() for k, v in g.state_dict().items()}
+    dsd = {k: v.detach().numpy().copy() for k, v in d.state_dict().items()}
+    vsd = {f"features.{k}": v.numpy().copy() for k, v in vgg.state_dict().items()}
+
+    rng = np.random.default_rng(17)
+    n_steps = 4
+    lrs = rng.random((n_steps, 2, 3, 16, 16)).astype(np.float32)
+    hrs = rng.random((n_steps, 2, 3, 64, 64)).astype(np.float32)
+    opt = torch.optim.Adam(g.parameters(), lr=2e-4)
+    losses = []
+    for i in range(n_steps):
+        sr = g(torch.from_numpy(lrs[i]))
+        hr = torch.from_numpy(hrs[i])
+        pred = d(sr)
+        loss = (F.l1_loss(sr, hr) + 1.0 * perceptual(sr, hr)
+                + 0.1 * bce(pred, torch.ones_like(pred)))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    np.savez_compressed(
+        GOLDEN_DIR / "gan_train_steps_tiny_full.npz",
+        **{f"sd__{k}": v for k, v in gsd.items()},
+        **{f"dsd__{k}": v for k, v in dsd.items()},
+        **{f"vsd__{k}": v for k, v in vsd.items()},
+        lrs=lrs, hrs=hrs, losses=np.asarray(losses, np.float64))
+    print("gan train losses:", losses)
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1] if len(_sys.argv) > 1 else None
@@ -377,3 +468,5 @@ if __name__ == "__main__":
         make_metric_goldens()
     if only in (None, "train"):
         make_train_goldens()
+    if only in (None, "gan_train"):
+        make_gan_train_goldens()
