@@ -45,7 +45,7 @@ class TiledSR:
     """
 
     def __init__(self, model_apply: Callable, scale: int, tile: int = 192,
-                 overlap: int = 8, chunk: int = 1, out_dtype=jnp.float32):
+                 overlap: int = 16, chunk: int = 1, out_dtype=jnp.float32):
         self.model_apply = model_apply
         self.scale = scale
         self.tile = tile
