@@ -55,6 +55,12 @@ def _cli():
                    help="disable channel-spatial attention in qkv")
     p.add_argument("--no-fusion", action="store_true")
     p.add_argument("--test-model", default="best_psnr_ssim_lpips_model.pth")
+    p.add_argument("--loader-workers", type=int, default=2,
+                   help="host data-loader workers for the train split")
+    p.add_argument("--loader-worker-type", default="process",
+                   choices=["thread", "process"],
+                   help="train-loader worker pool kind (process scales the "
+                        "BSRGAN degradation with host cores)")
     p.add_argument("--data-root", default="data")
     p.add_argument("--train-sets", nargs="+", default=None)
     p.add_argument("--eval-sets", nargs="+", default=None)
@@ -83,6 +89,8 @@ def _cli():
         train_data_name_list=args.train_sets,
         eval_data_name_list=args.eval_sets,
         test_data_name_list=args.test_sets,
+        loader_workers=args.loader_workers,
+        loader_worker_type=args.loader_worker_type,
     )
 
 

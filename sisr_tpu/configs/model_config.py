@@ -88,6 +88,12 @@ class ModelConfig:
         test_data_folder: str,
         test_data_name_list: List[str],
         compute_dtype: str = "float32",
+        # host loader: the train split defaults to the spawn-based process
+        # pool so the BSRGAN degradation scales with host cores (the
+        # reference trains input-bound with num_workers=0 —
+        # experiments/experiment.py:141-147; SURVEY.md §7 step 5)
+        loader_workers: int = 2,
+        loader_worker_type: str = "process",
     ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -107,7 +113,11 @@ class ModelConfig:
         self.test_data_folder = test_data_folder
         self.test_data_name_list = test_data_name_list
         self.compute_dtype = compute_dtype
+        self.loader_workers = loader_workers
+        self.loader_worker_type = loader_worker_type
 
+        assert self.loader_worker_type in ("thread", "process"), \
+            "loader_worker_type must be 'thread' or 'process'"
         assert self.optimizer in optimizers, f"optimizer must be in {optimizers}"
         assert self.loss_function in loss_functions, \
             f"loss_function must be in {loss_functions}"

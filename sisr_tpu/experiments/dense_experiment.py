@@ -41,7 +41,9 @@ def dense_experiment(is_test: bool, loss: str = "l1", epochs: int = 400,
                      num_blocks=(4, 4), skip_blocks=(0,),
                      middle_channels: int = 64, data_root: str = "data",
                      train_data_name_list=None, eval_data_name_list=None,
-                     test_data_name_list=None, run: bool = True, **extra):
+                     test_data_name_list=None, loader_workers: int = 2,
+                    loader_worker_type: str = "process",
+                    run: bool = True, **extra):
     train_data_config = DatasetConfig(
         split="train", crop_size=64, scaling_factor=4,
         lr_img_type="[0,1]", hr_img_type="[0,1]", is_augment=is_augment)
@@ -53,6 +55,8 @@ def dense_experiment(is_test: bool, loss: str = "l1", epochs: int = 400,
     folder = (f"dense_loss({loss})_sa({is_sa_attn})"
               f"{'_fusion' if is_fusion else ''}_c({middle_channels})")
     model_config = DenseModelConfig(
+        loader_workers=loader_workers,
+        loader_worker_type=loader_worker_type,
         batch_size=batch_size, learning_rate=2e-5, min_learning_rate=1e-7,
         optimizer="Adam",
         optimizer_params={"weight_decay": 0, "betas": [0.9, 0.99]},

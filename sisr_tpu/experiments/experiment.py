@@ -68,12 +68,21 @@ class Experiment:
         eval_mode: str = "whole",
         eval_tile: int = 192,
         eval_tile_overlap: int = 16,
+        # pad-to-bucket for whole-image eval: round (H, W) up to multiples
+        # of this, run, crop — a 30-image eval then compiles a handful of
+        # programs instead of one per unique shape (multi-minute XLA
+        # compiles on small hosts).  None (default) keeps the exact
+        # reference protocol: this model is NOT padding-invariant (window
+        # attention + global SCA pooling see the pad), so bucketed metrics
+        # differ at the ~1e-2 dB level (tests/test_experiment_runner.py)
+        eval_bucket: Optional[int] = None,
         lpips_weights_path: Optional[str] = None,
         progress: bool = True,
         n_devices: Optional[int] = None,
     ):
         self.eval_tile = eval_tile
         self.eval_tile_overlap = eval_tile_overlap
+        self.eval_bucket = eval_bucket
         # data parallelism: batch sharded on a 1-D mesh, params/optimizer
         # replicated, XLA emits the gradient all-reduce (the DDP analog —
         # reference toolkits' BasicSR dist_util.py:10-57)
@@ -183,7 +192,9 @@ class Experiment:
             dataset = SRDataset(self.train_data_config, path, seed=1009 + i)
             loader = DataLoader(dataset, batch_size=mc.batch_size, shuffle=is_shuffle,
                                 drop_last=True, seed=i,
-                                name=mc.train_data_name_list[i])
+                                name=mc.train_data_name_list[i],
+                                num_workers=mc.loader_workers,
+                                worker_type=mc.loader_worker_type)
             self.train_loaders.append(loader)
         for i, path in enumerate(mc.eval_data_path_list):
             dataset = SRDataset(self.eval_data_config, path)
@@ -421,6 +432,17 @@ class Experiment:
         if self.eval_mode == "tiled":
             sr = self.tiled(variables, jnp.asarray(lr_img[0]))
             return np.clip(np.asarray(sr), 0, 1)[None]
+        if self.eval_bucket:
+            bkt = self.eval_bucket
+            h, w = lr_img.shape[1:3]
+            ph, pw = (-h) % bkt, (-w) % bkt
+            if ph or pw:
+                mode = "reflect" if (ph < h and pw < w) else "symmetric"
+                padded = np.pad(lr_img, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                mode=mode)
+                sr = np.asarray(self._whole_eval(variables, jnp.asarray(padded)))
+                s = getattr(self.model_config, "scaling_factor", 4)
+                return sr[:, :h * s, :w * s]
         return np.asarray(self._whole_eval(variables, jnp.asarray(lr_img)))
 
     def _metrics_of(self, hr: np.ndarray, sr: np.ndarray, gaussian: bool):

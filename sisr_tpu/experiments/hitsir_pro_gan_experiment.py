@@ -177,6 +177,8 @@ def hitsir_pro_gan_experiment(
     train_data_name_list=None,
     eval_data_name_list=None,
     test_data_name_list=None,
+    loader_workers: int = 2,
+    loader_worker_type: str = "process",
     run: bool = True,
     **extra,
 ):
@@ -226,6 +228,8 @@ def hitsir_pro_gan_experiment(
         mlp_ratio=mlp_ratio,
         upsampler=upsampler,
         hier_win_ratios=hier_win_ratios,
+        loader_workers=loader_workers,
+        loader_worker_type=loader_worker_type,
     )
 
     experiment = HITSIRPROGANExperiment(

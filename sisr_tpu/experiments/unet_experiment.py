@@ -39,7 +39,9 @@ def unet_experiment(is_test: bool, loss: str = "l1", epochs: int = 400,
                     is_attn=(True, True, True, True), n_blocks: int = 2,
                     n_heads: int = 1, data_root: str = "data",
                     train_data_name_list=None, eval_data_name_list=None,
-                    test_data_name_list=None, run: bool = True, **extra):
+                    test_data_name_list=None, loader_workers: int = 2,
+                    loader_worker_type: str = "process",
+                    run: bool = True, **extra):
     train_data_config = DatasetConfig(
         split="train", crop_size=64, scaling_factor=4,
         lr_img_type="[0,1]", hr_img_type="[0,1]", is_augment=is_augment)
@@ -50,6 +52,8 @@ def unet_experiment(is_test: bool, loss: str = "l1", epochs: int = 400,
 
     folder = f"unet_loss({loss})_n({n_channels})_blocks({n_blocks})"
     model_config = UNetModelConfig(
+        loader_workers=loader_workers,
+        loader_worker_type=loader_worker_type,
         batch_size=batch_size, learning_rate=2e-5, min_learning_rate=1e-7,
         optimizer="Adam",
         optimizer_params={"weight_decay": 0, "betas": [0.9, 0.99]},

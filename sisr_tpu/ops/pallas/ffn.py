@@ -145,6 +145,123 @@ def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
     o_ref[0] = out.astype(dt)
 
 
+def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                      dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+                      o_ref, xcur_ref, xprev_ref, hcur_ref, hprev_ref,
+                      edge_ref, *, th: int, nb: int):
+    """Lagged-pipeline variant: the row-band grid dim is sequential
+    ("arbitrary"), so each band's fc1/gelu activations are computed ONCE and
+    the depthwise conv's 2-row halos come from the neighbouring bands via
+    VMEM scratch carried across grid steps — no halo recompute (the halo
+    kernel pays (th+4)/th extra fc1+gelu), no XLA halo-stack builds, no halo
+    DMA.  Step i computes band i's x/h, then emits band i-1's output from
+    [h_{i-2} bottom 2 | h_{i-1} | h_i top 2]; the grid runs nb+1 steps with
+    the output block index lagged by one."""
+    wd = o_ref.shape[2]
+    c = o_ref.shape[3]
+    ch = w1_ref.shape[1]
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        # rows -2/-1 above the image are the conv's zero padding
+        edge_ref[...] = jnp.zeros_like(edge_ref)
+
+    @pl.when(i < nb)
+    def _compute():
+        x = s_ref[0] + layer_norm(a_ref[0], ln1s_ref[0], ln1b_ref[0])
+        lin1 = jnp.dot(x.reshape(th * wd, c), w1_ref[...],
+                       preferred_element_type=f32) + b1_ref[0].astype(f32)
+        xcur_ref[...] = x
+        hcur_ref[...] = _gelu_kernel(lin1).astype(dt).reshape(th, wd, ch)
+
+    @pl.when(i > 0)
+    def _emit():
+        # rows nb*th.. below the image are zero padding (i == nb step)
+        top2 = jnp.where(i < nb, hcur_ref[0:2],
+                         jnp.zeros((2, wd, ch), dt))
+        hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], top2],
+                                 axis=0)                     # (th+4, W, Ch)
+        hp = jnp.pad(hstack, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
+        # same materialize-5-column-shifts + expression-tree accumulation as
+        # the halo kernel (see its comments for the measured rationale)
+        cols = [hp[:, j:j + wd, :] for j in range(K)]
+        dwf = dw_ref[...]
+        sj = [sum(cols[j][r:r + th].astype(f32) * dwf[r * K + j, :].astype(f32)
+                  for r in range(K)) for j in range(K)]
+        acc = sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
+        dwout = (acc + dwb_ref[0].astype(f32)).astype(dt)
+        h2 = hprev_ref[...] + _gelu_kernel(dwout)
+        y = (jnp.dot(h2.reshape(th * wd, ch), w2_ref[...],
+                     preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
+        out = xprev_ref[...] + layer_norm(y.reshape(th, wd, c),
+                                          ln2s_ref[0], ln2b_ref[0])
+        o_ref[0] = out.astype(dt)
+
+    @pl.when(i > 0)
+    def _edge_rotate():
+        # h_{i-1}'s bottom 2 rows become the top halo when emitting band i
+        edge_ref[...] = hprev_ref[th - 2:th]
+
+    @pl.when(i < nb)
+    def _rotate():
+        hprev_ref[...] = hcur_ref[...]
+        xprev_ref[...] = xcur_ref[...]
+
+
+def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                   ln2_s, ln2_b, interpret: bool = False):
+    b, h, wd, c = attn.shape
+    ch = w1.shape[1]
+    th = _pick_row_tile(h, attn.dtype.itemsize)
+    assert th, f"no row tile for H={h}"
+    nb = h // th
+    dt = attn.dtype
+
+    kernel = functools.partial(_tail_pipe_kernel, th=th, nb=nb)
+    const = lambda bi, ri: (0, 0)
+    body = pl.BlockSpec(
+        (1, th, wd, c), lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0))
+    out_spec = pl.BlockSpec(
+        (1, th, wd, c), lambda bi, ri: (bi, jnp.maximum(ri - 1, 0), 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nb + 1),
+        in_specs=[
+            body, body,
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((c, ch), const),
+            pl.BlockSpec((1, ch), const),
+            pl.BlockSpec((K * K, ch), const),
+            pl.BlockSpec((1, ch), const),
+            pl.BlockSpec((ch, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, c), dt),
+        scratch_shapes=[
+            pltpu.VMEM((th, wd, c), dt),      # x (current band)
+            pltpu.VMEM((th, wd, c), dt),      # x (previous band)
+            pltpu.VMEM((th, wd, ch), dt),     # h (current band)
+            pltpu.VMEM((th, wd, ch), dt),     # h (previous band)
+            pltpu.VMEM((2, wd, ch), dt),      # h_{i-2} bottom 2 rows
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get("SISR_FFN_VMEM_MB", "64"))
+            * 1024 * 1024),
+        interpret=interpret,
+    )(attn, shortcut,
+      ln1_s.reshape(1, c), ln1_b.reshape(1, c),
+      w1, b1.reshape(1, ch), dw.reshape(K * K, ch), dwb.reshape(1, ch),
+      w2, b2.reshape(1, c), ln2_s.reshape(1, c), ln2_b.reshape(1, c))
+
+
 import os
 
 
@@ -220,6 +337,9 @@ def htb_tail(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
     """Fused HTB tail; see module docstring.  ``use_pallas=False`` runs the
     XLA composition (CPU tests, parity oracle, backward pass)."""
     if use_pallas:
+        if os.environ.get("SISR_FFN_PIPE", "1") == "1":
+            return _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw,
+                                  dwb, w2, b2, ln2_s, ln2_b)
         return _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
                                 w2, b2, ln2_s, ln2_b)
     return htb_tail_reference(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,

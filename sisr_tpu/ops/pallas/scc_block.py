@@ -182,13 +182,23 @@ def _make_kernel(heads: int, chunk: int, with_sca: bool):
     return kernel
 
 
-def _make_band_kernel(heads: int, ww: int, with_sca: bool):
-    """Row-of-windows kernel for windows no larger than the base window
-    (rh == rw == 1): the learned pooling degenerates to ``k*pw + pb``, so a
-    full row of nW windows batches into one invocation with batched matmuls —
-    the 4x4-window blocks (which Mosaic's 8-alignment rule excludes from the
-    per-window kernel) and the tiny 8x8 windows (576 grid steps per block
-    otherwise) both run here."""
+def _make_band_kernel(heads: int, ww: int, with_sca: bool,
+                      degenerate: bool = True):
+    """Row-of-windows kernel: a full row of nW windows batches into one
+    invocation with batched matmuls.
+
+    ``degenerate=True`` (windows no larger than the base window, rh == rw ==
+    1): the learned pooling collapses to the scalar affine ``k*pw + pb``;
+    this serves the 4x4-window blocks (which Mosaic's 8-alignment rule
+    excludes from the per-window kernel) and the tiny 8x8 windows (576 grid
+    steps per block otherwise).
+
+    ``degenerate=False`` (hierarchical windows larger than the base): the
+    pooling is the real (l_base, L) matrix, applied as one batched matmul
+    producing pooled K/V transposed per window.  Batching the row of windows
+    into one invocation replaces the per-window grid (e.g. 144 grid steps
+    for the 16x16-window blocks of a 192 tile) with nWh steps of
+    MXU-friendlier batched matmuls."""
 
     def kernel(*refs):
         if with_sca:
@@ -238,19 +248,37 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool):
                 preferred_element_type=f32)
 
         qw, vw, kw = towin(q), towin(v), towin(k)
-        # degenerate pooling: P = pw * I — pw arrives as an SMEM f32 scalar
-        # (in band mode the pmatT slot carries (1,1) pw, not the matrix);
-        # the affine commutes with the window transpose, so pooled k/v are
-        # derived post-transpose (3 in-VMEM relayouts instead of 5)
-        pw = pmatT_ref[0, 0]
         pb = pb_ref[0, 0]
-        kpw = (kw.astype(f32) * pw + pb).astype(dt)
-        vpw = (vw.astype(f32) * pw + pb).astype(dt)
-        k_big = jnp.tile(kpw, (1, heads, 1)) * mask_ref[...][None]  # (nW, hl, half)
-        v_big = jnp.tile(vpw, (1, heads, 1)) * mask_ref[...][None]
-
-        corr = bdot(qw, k_big, 2, 2) / float(d) + bias_ref[...].astype(f32)[None]
-        out_s = bdot(corr.astype(dt), v_big, 2, 1)            # (nW, L, half)
+        if degenerate:
+            # degenerate pooling: P = pw * I — pw arrives as an SMEM f32
+            # scalar (the pmatT slot carries (1,1) pw, not the matrix); the
+            # affine commutes with the window transpose, so pooled k/v are
+            # derived post-transpose (3 in-VMEM relayouts instead of 5)
+            pw = pmatT_ref[0, 0]
+            kpw = (kw.astype(f32) * pw + pb).astype(dt)
+            vpw = (vw.astype(f32) * pw + pb).astype(dt)
+            k_big = jnp.tile(kpw, (1, heads, 1)) * mask_ref[...][None]
+            v_big = jnp.tile(vpw, (1, heads, 1)) * mask_ref[...][None]
+            corr = (bdot(qw, k_big, 2, 2) / float(d)
+                    + bias_ref[...].astype(f32)[None])
+            out_s = bdot(corr.astype(dt), v_big, 2, 1)        # (nW, L, half)
+        else:
+            # real (l_base, L) pooling as ONE batched matmul producing the
+            # pooled K/V already transposed (nW, half, l_base) — the form
+            # the correlation contracts against, so no in-VMEM transposes
+            pmatT = pmatT_ref[...]                            # (L, l_base)
+            def pool(t):  # (nW, L, half) -> (nW, half, l_base)
+                return jax.lax.dot_general(
+                    t, pmatT.astype(t.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32) + pb
+            k_bigT = (jnp.tile(pool(kw).astype(dt), (1, 1, heads))
+                      * maskT_ref[...][None])                 # (nW, half, hl)
+            v_bigT = (jnp.tile(pool(vw).astype(dt), (1, 1, heads))
+                      * maskT_ref[...][None])
+            corr = (bdot(qw, k_bigT, 2, 1) / float(d)
+                    + bias_ref[...].astype(f32)[None])        # (nW, L, hl)
+            out_s = bdot(corr.astype(dt), v_bigT, 2, 2)       # (nW, L, half)
         gram = (bdot(qw, kw, 1, 1) / float(l)).astype(dt)     # (nW, half, half)
         out_c = bdot(vw, gram, 2, 2)                          # (nW, L, half)
 
@@ -275,9 +303,17 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     chunk = _pick_chunk(l_full, ww)
     with_sca = sca is not None
     dt = x.dtype
-    # windows no larger than the base window (pooling degenerate): batch a
-    # whole row of windows per invocation
-    band = pmat.shape[0] == l_full
+    # windows no larger than the base window (pooling degenerate) batch a
+    # whole row of windows per invocation.  Hierarchical windows default to
+    # the per-window grid: row-of-windows batching with real pooling
+    # (SISR_SCC_MODE=band) measures 8.5x SLOWER at w=16 (0.693 vs 0.081
+    # ms/tile) and pathologically slow at w>=32 — Mosaic lowers the batched
+    # dot_generals as per-window matmuls plus giant relayouts, while the
+    # per-window grid's steps pipeline cleanly (measured v5e, round 3)
+    import os
+    degenerate = pmat.shape[0] == l_full
+    band = degenerate or (os.environ.get("SISR_SCC_MODE", "window") == "band"
+                          and wp % 8 == 0)
 
     if band:
         grid = (b, nwh)
@@ -286,7 +322,7 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         x_block = (1, wh, wp, c)
         p_block = (1, wh, wp, 18)
         s_spec = lambda bi, i: (bi, 0, 0)
-        kernel = _make_band_kernel(heads, ww, with_sca)
+        kernel = _make_band_kernel(heads, ww, with_sca, degenerate)
     else:
         grid = (b, nwh, nww)
         win_spec = lambda bi, i, j: (bi, i, j, 0)
@@ -318,11 +354,12 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
             pl.BlockSpec((1, 1, c), s_spec),
             pl.BlockSpec((1, 1, c), s_spec),
         ]
-    # band mode: the pooling matrix is pw*I — ship just the scalar via SMEM
-    pmat_in = (pmat[:1, :1].astype(jnp.float32).reshape(1, 1) if band
+    # degenerate band mode: the pooling matrix is pw*I — ship just the
+    # scalar via SMEM; otherwise the full (L, l_base) transposed matrix
+    pmat_in = (pmat[:1, :1].astype(jnp.float32).reshape(1, 1) if degenerate
                else pmat.T)
-    pmat_spec = (pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM) if band
-                 else pl.BlockSpec(pmat_in.shape, const))
+    pmat_spec = (pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM)
+                 if degenerate else pl.BlockSpec(pmat_in.shape, const))
     maskT = mask.T
     ins += [w1, w2, bb, pmat_in, pb, mask, maskT, bias,
             proj_k[:half].astype(dt), proj_k[half:].astype(dt),

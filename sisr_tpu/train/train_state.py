@@ -97,12 +97,18 @@ def make_gan_train_step(
             loss = pixel_loss(sr, hr_imgs)
             if perceptual_loss is not None:
                 loss = loss + perceptual_weight * perceptual_loss(sr, hr_imgs)
-            logits, _ = d_apply({"params": state.d.params, **d_vars}, sr,
-                                update_stats=False)
+            # torch advances the spectral-norm power iteration on EVERY
+            # train-mode forward — including this G-phase one where only
+            # requires_grad is off (reference hitsir_pro_gan_experiment.py
+            # :128-137) — so u/v advance here too and thread into the D step
+            logits, g_d_vars = d_apply({"params": state.d.params, **d_vars},
+                                       sr, update_stats=True,
+                                       mutable=["spectral"])
             loss = loss + adversarial_weight * gan_loss(logits, True)
-            return loss, sr
+            return loss, (sr, g_d_vars)
 
-        (g_loss, sr), g_grads = jax.value_and_grad(g_loss_of, has_aux=True)(state.g.params)
+        ((g_loss, (sr, d_vars)), g_grads) = jax.value_and_grad(
+            g_loss_of, has_aux=True)(state.g.params)
         g_updates, g_opt = g_tx.update(g_grads, state.g.opt_state, state.g.params)
         g_params = optax.apply_updates(state.g.params, g_updates)
 

@@ -75,6 +75,61 @@ def test_eval_mode_whole_vs_tiled(ran_experiment):
     assert psnr > 20.0, f"tiled-vs-whole PSNR {psnr:.1f} dB"
 
 
+def test_eval_bucket_bounds_compiles(ran_experiment):
+    """eval_bucket pads whole-image eval shapes up to bucket multiples: one
+    compiled program serves many image sizes, and the cropped metrics stay
+    within a small tolerance of the exact-shape protocol (this model is not
+    padding-invariant, so exact equality is impossible by construction)."""
+    exp, _ = ran_experiment
+    rng = np.random.default_rng(11)
+    sizes = [(20, 24), (22, 21), (24, 18), (17, 23)]
+    imgs = [rng.random((1, h, w, 3), dtype=np.float32) for h, w in sizes]
+
+    exp.eval_mode = "whole"
+    exp.eval_bucket = None
+    exact = [exp._infer_one(im) for im in imgs]
+
+    exp.eval_bucket = 24
+    before = exp._whole_eval._cache_size()
+    bucketed = [exp._infer_one(im) for im in imgs]
+    compiles = exp._whole_eval._cache_size() - before
+    exp.eval_bucket = None
+    # 4 distinct shapes -> at most 1 new program (24x24); all others pad to it
+    assert compiles <= 1, compiles
+    for (h, w), a, b in zip(sizes, exact, bucketed):
+        assert b.shape == a.shape == (1, h * 4, w * 4, 3)
+        mse = float(np.mean((a - b) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        # random-init weights are the worst case (same bar as the
+        # tiled-vs-whole test); trained smooth models sit far above
+        assert psnr > 20.0, f"bucketed-vs-exact PSNR {psnr:.1f} dB at {(h, w)}"
+
+
+def test_runner_process_pool_matches_thread_loader(ran_experiment,
+                                                   tmp_path_factory):
+    """The default train loader is the process pool (ModelConfig
+    loader_worker_type='process'); per-item seeding makes the epoch
+    identical to a thread-loader run — same loss, same logs."""
+    exp, _ = ran_experiment  # ran with the process-pool default
+    assert exp.train_loaders[0].worker_type == "process"
+    root = _make_data(tmp_path_factory.mktemp("thr"))
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        thr = hitsir_pro_experiment(is_test=False, epochs=1,
+                                    loader_worker_type="thread", **TINY_KW)
+    finally:
+        os.chdir(cwd)
+    assert thr.train_loaders[0].worker_type == "thread"
+    np.testing.assert_allclose(float(exp.epoch_loss.avg),
+                               float(thr.epoch_loss.avg), rtol=1e-5)
+    folder = ("hitsir_pro_loss(l1)_mulsizeconvextract(True)_casa(True)"
+              "_fusion_embed_dim(20)_len(depths)(1)_augment")
+    a = (ran_experiment[1] / "logs" / folder / "loss_log.txt").read_text()
+    b = (root / "logs" / folder / "loss_log.txt").read_text()
+    assert a.splitlines()[0] == b.splitlines()[0]
+
+
 def test_runner_data_parallel_matches_single_device(tmp_path_factory):
     """The n_devices knob trains on the CPU mesh and reproduces the
     single-device run (same seeds): same loss, same params, same artifacts."""

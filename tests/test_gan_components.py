@@ -155,3 +155,62 @@ def test_gan_generator_steps_match_torch_reference():
         params, opt_state, loss = step(params, opt_state, x, y)
         losses.append(float(loss))
     np.testing.assert_allclose(losses, blob["losses"], rtol=3e-4, atol=1e-6)
+
+
+def test_gan_discriminator_steps_match_torch_reference():
+    """Four discriminator Adam steps — BCE(real) + BCE(fake-detached) with
+    the spectral-norm power iteration advancing u/v on both forwards —
+    lockstep with the recorded torch run (tools/make_goldens.py
+    make_gan_d_step_goldens; reference D update
+    experiments/hitsir_pro_gan_experiment.py:144-165).  Closes the last
+    previously-unverified gradient path (the jitted D update)."""
+    import optax
+
+    blob = np.load(GOLDEN / "gan_d_steps.npz")
+    pick = lambda pre: {k[len(pre):]: blob[k] for k in blob.files
+                        if k.startswith(pre)}
+    d0 = convert_discriminator_state_dict(pick("d0__"))
+    disc = UNetDiscriminatorSN(ndf=16)
+    params = d0["params"]
+    spectral = {"spectral": d0["spectral"]}
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def dstep(params, opt_state, spectral, hr, sr):
+        # mirrors make_gan_train_step's D phase (train_state.py): grads of
+        # l_real + l_fake in one pass == the reference's two .backward()s
+        def loss_fn(p):
+            real_logits, vars1 = disc.apply({"params": p, **spectral}, hr,
+                                            True, mutable=["spectral"])
+            l_real = gan_loss(real_logits, True)
+            fake_logits, vars2 = disc.apply({"params": p, **vars1}, sr,
+                                            True, mutable=["spectral"])
+            l_fake = gan_loss(fake_logits, False)
+            return l_real + l_fake, (l_real, l_fake, vars2)
+
+        (_, (l_real, l_fake, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, new_vars,
+                l_real, l_fake)
+
+    for i in range(blob["srs"].shape[0]):
+        hr = jnp.asarray(blob["hrs"][i].transpose(0, 2, 3, 1))
+        sr = jnp.asarray(blob["srs"][i].transpose(0, 2, 3, 1))
+        params, opt_state, spectral, l_real, l_fake = dstep(
+            params, opt_state, spectral, hr, sr)
+        np.testing.assert_allclose(float(l_real), blob["l_real"][i],
+                                   rtol=3e-4, atol=1e-6)
+        np.testing.assert_allclose(float(l_fake), blob["l_fake"][i],
+                                   rtol=3e-4, atol=1e-6)
+
+    # end state lockstep: params AND the u/v power-iteration streams
+    d1 = convert_discriminator_state_dict(pick("d1__"))
+    got = {"params": params, "spectral": spectral["spectral"]}
+    want = {"params": d1["params"], "spectral": d1["spectral"]}
+    flat_got, tree_got = jax.tree_util.tree_flatten(got)
+    flat_want, tree_want = jax.tree_util.tree_flatten(want)
+    assert tree_got == tree_want
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-5, rtol=1e-3)

@@ -45,15 +45,20 @@ def _scc_block_args(win=8, base=8, heads=2, c=20, nw=2, b=1, with_sca=True,
             heads, (win, win))
 
 
+@pytest.mark.parametrize("mode", ["band", "window"])
 @pytest.mark.parametrize("win,base,heads,c,with_sca", [
     (8, 8, 2, 20, True), (8, 8, 2, 20, False), (16, 8, 2, 24, True),
     (32, 8, 1, 16, True),
     # windows <= base: the row-band kernel (degenerate pooling, batched)
     (4, 8, 2, 20, True), (4, 8, 2, 20, False)])
-def test_scc_block_kernel_matches_reference(win, base, heads, c, with_sca):
+def test_scc_block_kernel_matches_reference(win, base, heads, c, with_sca,
+                                            mode, monkeypatch):
     from sisr_tpu.ops.pallas.scc_block import (_scc_block_pallas,
                                                scc_block_reference)
 
+    # hierarchical (win > base) windows run row-of-windows batched by
+    # default; SISR_SCC_MODE=window selects the per-window grid (A/B)
+    monkeypatch.setenv("SISR_SCC_MODE", mode)
     args = _scc_block_args(win=win, base=base, heads=heads, c=c,
                            nw=1 if win >= 32 else 2, with_sca=with_sca)
     ref = scc_block_reference(*args)
@@ -88,14 +93,29 @@ def _tail_args(h=12, w=20, c=16, ch=32, b=1, seed=0, dtype=np.float32):
             mk(c) + 1.0, mk(c))                      # ln2
 
 
+@pytest.mark.parametrize("variant", ["halo", "pipe"])
 @pytest.mark.parametrize("h,w,c,ch", [(8, 12, 16, 24), (12, 20, 10, 20),
-                                      (16, 8, 24, 48)])
-def test_htb_tail_kernel_matches_reference(h, w, c, ch):
-    from sisr_tpu.ops.pallas.ffn import _htb_tail_pallas, htb_tail_reference
+                                      (16, 8, 24, 48), (4, 8, 12, 24),
+                                      (32, 8, 12, 24)])
+def test_htb_tail_kernel_matches_reference(h, w, c, ch, variant):
+    from sisr_tpu.ops.pallas.ffn import (_htb_tail_pallas, _htb_tail_pipe,
+                                         htb_tail_reference)
 
+    impl = _htb_tail_pipe if variant == "pipe" else _htb_tail_pallas
     args = _tail_args(h=h, w=w, c=c, ch=ch)
     ref = htb_tail_reference(*args)
-    got = _htb_tail_pallas(*args, interpret=True)
+    got = impl(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_htb_tail_pipe_batched():
+    """Scratch carry must reset cleanly across batch items."""
+    from sisr_tpu.ops.pallas.ffn import _htb_tail_pipe, htb_tail_reference
+
+    args = _tail_args(h=8, w=12, c=16, ch=24, b=3, seed=5)
+    ref = htb_tail_reference(*args)
+    got = _htb_tail_pipe(*args, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
 

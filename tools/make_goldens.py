@@ -453,6 +453,61 @@ def make_gan_train_goldens():
     print("gan train losses:", losses)
 
 
+def make_gan_d_step_goldens():
+    """Four discriminator Adam steps — BCE(real) + BCE(fake) on fixed
+    sr/hr batches with the spectral-norm power iteration advancing u/v on
+    BOTH forwards, exactly the reference D update
+    (experiments/hitsir_pro_gan_experiment.py:144-165).  Records the
+    initial state_dict (incl. weight_u/weight_v buffers), per-step
+    l_real/l_fake, and the final state_dict — the oracle for the last
+    previously-unverified gradient path (the jitted D update)."""
+    _install_timm_shim()
+    sys.path.insert(0, REFERENCE)
+    import importlib
+
+    import torch.nn.functional as F  # noqa: F401
+
+    disc_mod = importlib.import_module(
+        "参考资料.KAIR_master.models.network_discriminator")
+
+    torch.manual_seed(33)
+    d = disc_mod.Discriminator_UNet(ndf=16)  # structure-identical, 16x lighter
+    settle = torch.rand(1, 3, 32, 32, generator=torch.Generator().manual_seed(7))
+    d.train()
+    with torch.no_grad():
+        for _ in range(5):
+            d(settle)
+    dsd0 = {k: v.detach().numpy().copy() for k, v in d.state_dict().items()}
+
+    rng = np.random.default_rng(29)
+    n_steps = 4
+    srs = rng.random((n_steps, 2, 3, 64, 64)).astype(np.float32)
+    hrs = rng.random((n_steps, 2, 3, 64, 64)).astype(np.float32)
+    bce = torch.nn.BCEWithLogitsLoss()
+    opt = torch.optim.Adam(d.parameters(), lr=2e-4)
+    l_reals, l_fakes = [], []
+    for i in range(n_steps):
+        opt.zero_grad()
+        pred_real = d(torch.from_numpy(hrs[i]))
+        l_real = bce(pred_real, torch.ones_like(pred_real))
+        l_real.backward()
+        pred_fake = d(torch.from_numpy(srs[i]))
+        l_fake = bce(pred_fake, torch.zeros_like(pred_fake))
+        l_fake.backward()
+        opt.step()
+        l_reals.append(float(l_real.detach()))
+        l_fakes.append(float(l_fake.detach()))
+    dsd1 = {k: v.detach().numpy().copy() for k, v in d.state_dict().items()}
+    np.savez_compressed(
+        GOLDEN_DIR / "gan_d_steps.npz",
+        **{f"d0__{k}": v for k, v in dsd0.items()},
+        **{f"d1__{k}": v for k, v in dsd1.items()},
+        srs=srs, hrs=hrs,
+        l_real=np.asarray(l_reals, np.float64),
+        l_fake=np.asarray(l_fakes, np.float64))
+    print("gan d-step losses:", list(zip(l_reals, l_fakes)))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1] if len(_sys.argv) > 1 else None
@@ -470,3 +525,5 @@ if __name__ == "__main__":
         make_train_goldens()
     if only in (None, "gan_train"):
         make_gan_train_goldens()
+    if only in (None, "gan_d"):
+        make_gan_d_step_goldens()
