@@ -223,6 +223,8 @@ class Experiment:
                     for p in jax.tree.leaves(self.variables["params"]))
         descr = f"Total parameters: {total}"
         print(descr)
+        if jax.process_index() != 0:  # rank-0 I/O (BasicSR master_only analog)
+            return
         with open(os.path.join(self.model_config.log_folder, "模型参数量.txt"), "w") as f:
             f.write(descr + "\n")
 
@@ -426,6 +428,19 @@ class Experiment:
 
     # ------------------------------------------------------------------- eval
 
+    def _place_eval(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Replicate an eval input over the mesh when it spans processes.
+
+        Under multi-controller JAX an uncommitted local array cannot feed a
+        jit whose other operands (the replicated params) live on a
+        cross-process mesh — the placement must be explicit.  Single-process
+        (or no mesh) keeps the uncommitted array: jit reshards it freely.
+        """
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
+        return x
+
     def _infer_one(self, lr_img: np.ndarray) -> np.ndarray:
         """(1,h,w,3) -> clipped (1,H,W,3) SR via tiled or whole-image path."""
         variables = {"params": self.state.params}
@@ -440,10 +455,12 @@ class Experiment:
                 mode = "reflect" if (ph < h and pw < w) else "symmetric"
                 padded = np.pad(lr_img, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                 mode=mode)
-                sr = np.asarray(self._whole_eval(variables, jnp.asarray(padded)))
+                sr = np.asarray(self._whole_eval(
+                    variables, self._place_eval(jnp.asarray(padded))))
                 s = getattr(self.model_config, "scaling_factor", 4)
                 return sr[:, :h * s, :w * s]
-        return np.asarray(self._whole_eval(variables, jnp.asarray(lr_img)))
+        return np.asarray(self._whole_eval(
+            variables, self._place_eval(jnp.asarray(lr_img))))
 
     def _metrics_of(self, hr: np.ndarray, sr: np.ndarray, gaussian: bool):
         hr_y = convert_image(hr[0], source="[0,1]", target="y-channel")

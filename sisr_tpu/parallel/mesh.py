@@ -40,14 +40,26 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def initialize_distributed():
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
     """Multi-host entry: call once per process before creating meshes.
 
     Counterpart of torch.distributed.init_process_group(backend='nccl')
-    (reference BasicSR dist_util.py:10-25) — jax.distributed discovers the
-    TPU pod topology from the environment.
+    (reference BasicSR dist_util.py:10-25).  With no arguments
+    jax.distributed discovers the TPU pod topology from the environment; the
+    explicit (coordinator, num_processes, process_id) form serves manual
+    launches — including the 2-process CPU harness
+    (tests/test_multiprocess.py) that exercises this path hostside with
+    gloo collectives, the analog of BasicSR dist_util.py:28-57's
+    mp.spawn launcher.
     """
-    jax.distributed.initialize()
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
 
 
 def process_zero() -> bool:
