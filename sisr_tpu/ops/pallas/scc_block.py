@@ -20,7 +20,11 @@ per window in VMEM, and the correlation matrices never touch HBM.
 
 The per-window pipeline uses the algebraic normal form of
 ``sisr_tpu.ops.pallas.scc_attention`` (block-diagonal k-gen, pooling matrix,
-head-tiled masked K/V, relative-position bias table streamed in).  The
+head-tiled masked K/V, relative-position bias table streamed in), further
+reassociated because the S-SC correlation is linear attention (no softmax):
+``out_s = q @ (k_bigᵀ v_big)/d + bias @ v_big`` where ``k_bigᵀ v_big``
+collapses to a same-head-masked (C/2, C/2) gram — the (L, heads·l_base)
+correlation intermediate is never formed (see ``_make_kernel``).  The
 squeeze-excite vectors s1/s2 (global spatial pooling + two tiny Dense) are
 computed outside — they need a global reduction over the tile.
 
@@ -33,6 +37,8 @@ hierarchical ladder's 4x4 windows) use the reference path — Mosaic requires
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -82,30 +88,35 @@ def scc_block_reference(x, sca, w1, w2, bb, pmat, pb, mask, bias,
     return out @ proj_k.astype(dt) + proj_b.astype(dt)
 
 
-def _pick_chunk(l_full: int, ww: int, target: int = 1024) -> int:
-    """Largest row-aligned chunk <= target dividing the window (VMEM-bounded:
-    the (chunk, heads*l_base) correlation lives in f32)."""
-    chunk = min(l_full, max(ww, (target // ww) * ww))
-    while l_full % chunk:
-        chunk -= ww
-    return chunk
+def _make_kernel(heads: int, with_sca: bool):
+    """Per-window kernel in the reassociated linear-attention form.
 
-
-def _make_kernel(heads: int, chunk: int, with_sca: bool):
+    The S-SC correlation has no softmax, so
+        out_s = (q @ k_bigT / d + bias) @ v_big
+    reassociates to
+        out_s = q @ M / d + bias @ v_big,
+        M     = k_bigT @ v_big = headmask ⊙ (k_pool'ᵀ @ v_pool')
+    (k_pool'/v_pool' are the pooled K/V with the scalar pooling bias; the
+    block-diagonal head masks collapse to the (C/2, C/2) same-head mask).
+    This kills the (L, heads·l_base) f32 correlation intermediate, its bias
+    add/cast, and the k_big tile+mask build — the whole window is one pass of
+    well-shaped matmuls with no chunking.
+    """
     def kernel(*refs):
         if with_sca:
             (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
              w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
-             bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+             hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
         else:
             (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
-             maskT_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+             maskT_ref, hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref,
+             o_ref) = refs
+        del maskT_ref  # only the legacy band-real branch contracts against it
 
         wh, ww, c = x_ref.shape[1:]
         half = c // 2
         l_full = wh * ww
         d = half // heads
-        l_base = pmatT_ref.shape[1]
         f32 = jnp.float32
         X = x_ref[0].reshape(l_full, c)
         dt = X.dtype
@@ -125,11 +136,6 @@ def _make_kernel(heads: int, chunk: int, with_sca: bool):
 
         q = qkv[:, :half]
         v = qkv[:, half:]
-        w1 = w1_ref[...]
-        w2 = w2_ref[...]
-        bb = bb_ref[0, :]
-        pmatT = pmatT_ref[...]  # (L, l_base)
-        n_chunks = l_full // chunk
 
         def dotT(a, b):
             # a^T @ b without materializing the transpose
@@ -137,47 +143,25 @@ def _make_kernel(heads: int, chunk: int, with_sca: bool):
                 a, b, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
 
-        # pass 1: k per chunk; accumulate gram and pooled K/V transposed
-        gram = jnp.zeros((half, half), f32)
-        k_poolT = jnp.zeros((half, l_base), f32)
-        v_poolT = jnp.zeros((half, l_base), f32)
-        for i in range(n_chunks):
-            sl = slice(i * chunk, (i + 1) * chunk)
-            q_c = q[sl]
-            v_c = v[sl]
-            k_c = (jnp.dot(q_c, w1, preferred_element_type=f32)
-                   + jnp.dot(v_c, w2, preferred_element_type=f32) + bb)
-            k_c = k_c.astype(dt)
-            gram += dotT(q_c, k_c)
-            p_c = pmatT[sl].astype(dt)
-            k_poolT += dotT(k_c, p_c)
-            v_poolT += dotT(v_c, p_c)
+        k = (jnp.dot(q, w1_ref[...], preferred_element_type=f32)
+             + jnp.dot(v, w2_ref[...], preferred_element_type=f32)
+             + bb_ref[0, :]).astype(dt)
+        gramT = (dotT(k, q) / float(l_full)).astype(dt)    # == (qᵀk)ᵀ / L
+        pmatT = pmatT_ref[...].astype(dt)                  # (L, l_base)
         pb = pb_ref[0, 0]
-        gramT = (gram.T / float(l_full)).astype(dt)
-
-        k_bigT = (jnp.tile((k_poolT + pb).astype(dt), (1, heads))
-                  * maskT_ref[...])                      # (half, heads*l_base)
-        v_big = (jnp.tile((v_poolT + pb).T.astype(dt), (heads, 1))
-                 * mask_ref[...])                        # (heads*l_base, half)
-
-        # pass 2: per-chunk correlation + projected output
-        rows_per_chunk = chunk // ww
-        p1 = p1_ref[...]
-        p2 = p2_ref[...]
-        pjb = pjb_ref[0].astype(f32)
-        for i in range(n_chunks):
-            sl = slice(i * chunk, (i + 1) * chunk)
-            q_c = q[sl]
-            v_c = v[sl]
-            corr = jnp.dot(q_c, k_bigT, preferred_element_type=f32) / float(d)
-            corr = (corr + bias_ref[sl].astype(f32)).astype(dt)
-            out_s = jnp.dot(corr, v_big, preferred_element_type=f32).astype(dt)
-            out_c = jnp.dot(v_c, gramT, preferred_element_type=f32).astype(dt)
-            out = (jnp.dot(out_s, p1, preferred_element_type=f32)
-                   + jnp.dot(out_c, p2, preferred_element_type=f32) + pjb)
-            r0 = i * rows_per_chunk
-            o_ref[0, r0:r0 + rows_per_chunk, :, :] = out.astype(dt).reshape(
-                rows_per_chunk, ww, c)
+        k_pool = dotT(pmatT, k) + pb                       # (l_base, half) f32
+        v_pool = (dotT(pmatT, v) + pb).astype(dt)
+        m = dotT(k_pool.astype(dt), v_pool)                # (half, half) f32
+        m = (m * hmask_ref[...].astype(f32) * (1.0 / d)).astype(dt)
+        v_big = jnp.tile(v_pool, (heads, 1)) * mask_ref[...]
+        out_s = (jnp.dot(q, m, preferred_element_type=f32)
+                 + jnp.dot(bias_ref[...], v_big,
+                           preferred_element_type=f32)).astype(dt)
+        out_c = jnp.dot(v, gramT, preferred_element_type=f32).astype(dt)
+        out = (jnp.dot(out_s, p1_ref[...], preferred_element_type=f32)
+               + jnp.dot(out_c, p2_ref[...], preferred_element_type=f32)
+               + pjb_ref[0].astype(f32))
+        o_ref[0] = out.astype(dt).reshape(wh, ww, c)
 
     return kernel
 
@@ -204,10 +188,11 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool,
         if with_sca:
             (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
              w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
-             bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+             hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
         else:
             (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
-             maskT_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
+             maskT_ref, hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref,
+             o_ref) = refs
 
         wh, wd, c = x_ref.shape[1:]
         half = c // 2
@@ -253,15 +238,18 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool,
             # degenerate pooling: P = pw * I — pw arrives as an SMEM f32
             # scalar (the pmatT slot carries (1,1) pw, not the matrix); the
             # affine commutes with the window transpose, so pooled k/v are
-            # derived post-transpose (3 in-VMEM relayouts instead of 5)
+            # derived post-transpose.  Reassociated linear-attention form
+            # (see _make_kernel): no (nW, L, heads·L) correlation.
             pw = pmatT_ref[0, 0]
             kpw = (kw.astype(f32) * pw + pb).astype(dt)
             vpw = (vw.astype(f32) * pw + pb).astype(dt)
-            k_big = jnp.tile(kpw, (1, heads, 1)) * mask_ref[...][None]
+            m = bdot(kpw, vpw, 1, 1)                          # (nW, half, half)
+            m = (m * hmask_ref[...].astype(f32)[None]
+                 * (1.0 / d)).astype(dt)
             v_big = jnp.tile(vpw, (1, heads, 1)) * mask_ref[...][None]
-            corr = (bdot(qw, k_big, 2, 2) / float(d)
-                    + bias_ref[...].astype(f32)[None])
-            out_s = bdot(corr.astype(dt), v_big, 2, 1)        # (nW, L, half)
+            biasb = jnp.broadcast_to(bias_ref[...].astype(dt)[None],
+                                     (nw, l, heads * l))
+            out_s = bdot(qw, m, 2, 1) + bdot(biasb, v_big, 2, 1)  # (nW, L, half)
         else:
             # real (l_base, L) pooling as ONE batched matmul producing the
             # pooled K/V already transposed (nW, half, l_base) — the form
@@ -300,7 +288,6 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     nwh, nww = hp // wh, wp // ww
     l_full = wh * ww
     half = c // 2
-    chunk = _pick_chunk(l_full, ww)
     with_sca = sca is not None
     dt = x.dtype
     # windows no larger than the base window (pooling degenerate) batch a
@@ -330,7 +317,7 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         x_block = (1, wh, ww, c)
         p_block = (1, wh, ww, 18)
         s_spec = lambda bi, i, j: (bi, 0, 0)
-        kernel = _make_kernel(heads, chunk, with_sca)
+        kernel = _make_kernel(heads, with_sca)
 
     ins = [x]
     in_specs = [pl.BlockSpec(x_block, win_spec)]
@@ -361,7 +348,12 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     pmat_spec = (pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM)
                  if degenerate else pl.BlockSpec(pmat_in.shape, const))
     maskT = mask.T
-    ins += [w1, w2, bb, pmat_in, pb, mask, maskT, bias,
+    # (C/2, C/2) same-head mask for the reassociated M = headmask ⊙ (K'ᵀV')
+    dhead = half // heads
+    hmask = jnp.asarray(
+        (np.arange(half)[:, None] // dhead
+         == np.arange(half)[None, :] // dhead).astype(np.float32), dtype=dt)
+    ins += [w1, w2, bb, pmat_in, pb, mask, maskT, hmask, bias,
             proj_k[:half].astype(dt), proj_k[half:].astype(dt),
             proj_b.reshape(1, c).astype(dt)]
     in_specs += [
@@ -372,6 +364,7 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
         pl.BlockSpec(mask.shape, const),
         pl.BlockSpec(maskT.shape, const),
+        pl.BlockSpec(hmask.shape, const),
         pl.BlockSpec(bias.shape, const),
         pl.BlockSpec((half, c), const),
         pl.BlockSpec((half, c), const),
