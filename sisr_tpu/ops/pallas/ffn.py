@@ -266,8 +266,11 @@ import os
 
 
 def _pick_row_tile(h: int, itemsize: int = 2) -> int:
-    # th=16 measured fastest (th=32: 35.9 vs 33.7 ms/tile; th=8: more halo
-    # overcompute); SISR_FFN_TH overrides for A/B sweeps
+    # th in {6,8,12,16} is a wash at whole-flagship level once measured
+    # *interleaved in one process* (30.3-30.9 ms for all three, r3); earlier
+    # cross-process "wins" for 8/12 were environmental variance (see
+    # CLAUDE.md measurement rules).  th=24 is a real loss (34.4).
+    # SISR_FFN_TH overrides for A/B sweeps.
     env = os.environ.get("SISR_FFN_TH")
     order = (int(env),) if env else (16, 8, 4)
     for th in order:

@@ -122,12 +122,15 @@ def test_flagship_forward_matches_reference(flagship_forward):
 
 
 def test_flagship_bf16_drift_bound(flagship_forward):
-    """bf16 whole-model output vs f32: PSNR >= 40 dB on [0,1]-range output
-    (documents the serving-precision drift of the shipped bench config)."""
+    """bf16 whole-model output vs f32: measured 45.7 dB PSNR on [0,1]-range
+    output (flagship, manifest-synthesized weights, 64x64 input, CPU r3);
+    assert with ~1.7 dB headroom so a real precision regression trips the
+    test.  (The ~54 dB figure in bench notes is the bf16 *blend-canvas*
+    quantization floor — a different quantity.)"""
     _, y32, y16 = flagship_forward
     mse = float(np.mean((y32 - y16) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-    assert psnr >= 40.0, f"bf16 drift PSNR {psnr:.1f} dB"
+    assert psnr >= 44.0, f"bf16 drift PSNR {psnr:.1f} dB (measured 45.7)"
 
 
 def test_flagship_param_count():

@@ -91,6 +91,44 @@ def analyze(top: int = 40):
         break
 
 
+def analyze_glue(top: int = 60):
+    """Like analyze() but excludes pallas custom-call kernels: shows where
+    the XLA glue time (fusions/copies/reshapes/converts) actually lives."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"), recursive=True)
+    path = max(paths, key=os.path.getmtime)
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        space.ParseFromString(fh.read())
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: (m.name, m.display_name) for m in plane.event_metadata.values()}
+        totals = defaultdict(float)
+        counts = defaultdict(int)
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name, disp = ev_meta.get(ev.metadata_id, ("?", "?"))
+                low = (name or "").lower()
+                if "custom-call" in low or "pallas" in low:
+                    continue
+                key = disp or name
+                totals[key] += ev.duration_ps / 1e9
+                counts[key] += 1
+        if not totals:
+            continue
+        grand = sum(totals.values())
+        print(f"== XLA glue (non-kernel) total: {grand/3:.2f} ms per run ==", flush=True)
+        for name in sorted(totals, key=lambda k: -totals[k])[:top]:
+            print(f"{totals[name]/3:8.3f} ms  x{counts[name]//3:<4} {name[:120]}",
+                  flush=True)
+        break
+
+
 if __name__ == "__main__":
     capture()
     analyze()
+    analyze_glue()
