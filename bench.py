@@ -35,7 +35,14 @@ def main():
     from sisr_tpu.parallel.tiling import TiledSR
 
     h, w = 1080, 1920
-    tile = int(os.environ.get("BENCH_TILE", "192"))
+    # "192" (square) or "192x1920" (strip tiles: full-width strips need no
+    # horizontal overlap — 1920 = 10*192 is already a window-ladder multiple)
+    tile_env = os.environ.get("BENCH_TILE", "192x1920")
+    if "x" in tile_env:
+        tile = tuple(int(v) for v in tile_env.split("x"))
+        tile_h, tile_w = tile
+    else:
+        tile_h = tile_w = tile = int(tile_env)
     chunk = int(os.environ.get("BENCH_CHUNK", "1"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     # overlap 8 measured seam-parity-neutral vs 16 (tools/bench_overlap_quality.py:
@@ -48,7 +55,7 @@ def main():
 
     model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = jax.jit(model.init)(rng, jnp.zeros((chunk, tile, tile, 3)))
+    variables = jax.jit(model.init)(rng, jnp.zeros((chunk, tile_h, tile_w, 3)))
     # pre-cast params: saves re-reading 41 MB of f32 weights per tile
     variables = jax.tree.map(lambda p: p.astype(jnp.bfloat16), variables)
 
@@ -77,7 +84,7 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "latency_ms": round(latency * 1e3, 1),
-        "tile": tile,
+        "tile": tile_env,
         "chunk": chunk,
         "overlap": overlap,
         "dtype": "bfloat16",

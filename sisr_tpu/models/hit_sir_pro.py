@@ -68,10 +68,11 @@ def _conv(features: int, kernel: int, name: str, dtype: Dtype, use_bias: bool = 
     )
 
 
-def _use_conv_kernel(h: int) -> bool:
+def _use_conv_kernel(h: int, w: int = 192, cin: int = 180,
+                     cout: int = 180) -> bool:
     import os
     from sisr_tpu.ops.pallas.conv3x3 import supports_shape
-    return (jax.default_backend() == "tpu" and supports_shape(h)
+    return (jax.default_backend() == "tpu" and supports_shape(h, w, cin, cout)
             and os.environ.get("SISR_FUSED_CONV", "1") == "1")
 
 
@@ -92,7 +93,8 @@ class FusedConv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return conv3x3(y, res, kernel.astype(self.dtype),
                        bias.astype(self.dtype), self.act,
-                       _use_conv_kernel(y.shape[1]))
+                       _use_conv_kernel(y.shape[1], y.shape[2], y.shape[-1],
+                                        self.features))
 
 
 def _layer_norm(name: str, dtype: Dtype) -> nn.LayerNorm:
@@ -670,7 +672,8 @@ class HierarchicalTransformerBlock(nn.Module):
                               deterministic=deterministic)
 
         import os
-        use_pallas = (jax.default_backend() == "tpu" and supports_shape(h)
+        use_pallas = (jax.default_backend() == "tpu"
+                      and supports_shape(h, w)
                       and os.environ.get("SISR_FUSED_FFN", "1") == "1")
         return htb_tail(attn, shortcut,
                         ln1_s.astype(dt), ln1_b.astype(dt),

@@ -54,41 +54,68 @@ def _conv_kernel(*refs, th: int, with_res: bool, act: str):
     a = jnp.concatenate([hal_ref[0, 0, 0:1], y_ref[0], hal_ref[0, 0, 1:2]],
                         axis=0)                      # (th+2, W, Cin)
     ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
-    cols = [ap[:, j:j + wd, :] for j in range(3)]    # 3 column shifts
-    taps = [cols[j][i:i + th].reshape(th * wd, cin)
-            for i in range(3) for j in range(3)]
-    if cin < 128:
-        # narrow channels (the x4-res head convs run Cin=64): nine K=cin
-        # matmuls half-fill the MXU's 128-deep contraction; pack the taps
-        # into one (th*W, 9*cin) im2col block so K rides full 128 passes
-        im = jnp.concatenate(taps, axis=-1)
-        acc = (jnp.dot(im, k_ref[...].reshape(9 * cin, -1),
-                       preferred_element_type=f32) + b_ref[0].astype(f32))
+
+    def band(lo: int, cw: int):
+        cols = [ap[:, lo + j:lo + j + cw, :] for j in range(3)]  # col shifts
+        taps = [cols[j][i:i + th].reshape(th * cw, cin)
+                for i in range(3) for j in range(3)]
+        if cin < 128:
+            # narrow channels (the x4-res head convs run Cin=64): nine K=cin
+            # matmuls half-fill the MXU's 128-deep contraction; pack the taps
+            # into one (th*cw, 9*cin) im2col block so K rides full 128 passes
+            im = jnp.concatenate(taps, axis=-1)
+            acc = (jnp.dot(im, k_ref[...].reshape(9 * cin, -1),
+                           preferred_element_type=f32) + b_ref[0].astype(f32))
+        else:
+            acc = jnp.zeros((th * cw, k_ref.shape[2]), f32) + b_ref[0].astype(f32)
+            for t in range(9):
+                acc += jnp.dot(taps[t], k_ref[t], preferred_element_type=f32)
+        if act == "leaky":
+            acc = jax.nn.leaky_relu(acc, 0.01)
+        elif act == "leaky2":
+            acc = jax.nn.leaky_relu(acc, 0.2)
+        return acc.reshape(th, cw, -1)
+
+    # wide strip bands chunk the im2col build over 512-column blocks (the
+    # full-width f32 im2col block would blow VMEM at W >= 1920)
+    if wd <= 512:
+        out = band(0, wd)
     else:
-        acc = jnp.zeros((th * wd, k_ref.shape[2]), f32) + b_ref[0].astype(f32)
-        for t in range(9):
-            acc += jnp.dot(taps[t], k_ref[t], preferred_element_type=f32)
-    if act == "leaky":
-        acc = jax.nn.leaky_relu(acc, 0.01)
-    elif act == "leaky2":
-        acc = jax.nn.leaky_relu(acc, 0.2)
-    out = acc.reshape(th, wd, -1)
+        out = jnp.concatenate([band(lo, min(512, wd - lo))
+                               for lo in range(0, wd, 512)], axis=1)
     if with_res:
         out = res_ref[0].astype(f32) + out
     o_ref[0] = out.astype(dt)
 
 
-def _pick_row_tile(h: int) -> int:
-    for th in (16, 8, 4):
-        if h % th == 0:
+def _pick_row_tile(h: int, w: int = 192, cin: int = 180,
+                   cout: int = 180) -> int:
+    """Largest row tile dividing ``h`` whose band fits VMEM.
+
+    The im2col/accumulator temps are built per 512-column chunk (see
+    ``_conv_kernel``), so the dominant VMEM residents are the
+    double-buffered band windows (~2x2x(cin+cout) bytes per token with
+    bf16 and 128-lane padding) plus the chunk temps.  Wide strips (up to
+    7680 HR columns) shrink th; 192/768-wide square tiles keep th=16."""
+    lanes = lambda n: -(-n // 128) * 128
+    per_token = 6 * lanes(cin) + 4 * lanes(cout)
+    chunk = (36 * lanes(cin) + 4 * lanes(cout)) * min(th_chunk_cols(), w)
+    budget = 56 * 1024 * 1024
+    for th in (16, 8, 4, 2):
+        if h % th == 0 and th * (w * per_token + chunk) <= budget:
             return th
     return 0
+
+
+def th_chunk_cols() -> int:
+    """Column-chunk width used by the kernel's im2col build."""
+    return 512
 
 
 def _conv3x3_pallas(y, res, kernel, bias, act: str, interpret: bool = False):
     b, h, wd, cin = y.shape
     cout = kernel.shape[-1]
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, wd, cin, cout)
     assert th, f"no row tile for H={h}"
     nb = h // th
     dt = y.dtype
@@ -156,5 +183,6 @@ def _bwd(act, use_pallas, saved, dy):
 conv3x3.defvjp(_fwd, _bwd)
 
 
-def supports_shape(h: int) -> bool:
-    return _pick_row_tile(h) > 0
+def supports_shape(h: int, w: int = 192, cin: int = 180,
+                   cout: int = 180) -> bool:
+    return _pick_row_tile(h, w, cin, cout) > 0

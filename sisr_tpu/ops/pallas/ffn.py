@@ -185,15 +185,37 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
         hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], top2],
                                  axis=0)                     # (th+4, W, Ch)
         hp = jnp.pad(hstack, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
-        # same materialize-5-column-shifts + expression-tree accumulation as
-        # the halo kernel (see its comments for the measured rationale)
-        cols = [hp[:, j:j + wd, :] for j in range(K)]
         dwf = dw_ref[...]
-        sj = [sum(cols[j][r:r + th].astype(f32) * dwf[r * K + j, :].astype(f32)
-                  for r in range(K)) for j in range(K)]
-        acc = sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
-        dwout = (acc + dwb_ref[0].astype(f32)).astype(dt)
-        h2 = hprev_ref[...] + _gelu_kernel(dwout)
+        dwb = dwb_ref[0].astype(f32)
+
+        def taps(lo: int, cw: int):
+            # materialize the K column shifts once (unaligned sublane
+            # relayouts); row shifts are then free slices of the leading dim
+            # — K relayouts, not K*K.  The taps accumulate as per-column
+            # expression TREES rather than 25 sequential acc updates: Mosaic
+            # keeps a tree's partials in registers, cutting the
+            # accumulator's VMEM read/write traffic ~5x (measured 0.10
+            # ms/kernel, tools/bench_ffn_ablate.py).
+            cols = [hp[:, lo + j:lo + j + cw, :] for j in range(K)]
+            sj = [sum(cols[j][r:r + th].astype(f32)
+                      * dwf[r * K + j, :].astype(f32)
+                      for r in range(K)) for j in range(K)]
+            return sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
+
+        # wide strip bands chunk the tap build over 512-column blocks: the
+        # full-width form holds ~9 (th, W, Ch) f32 partials live, which at
+        # W=1920 spills ~45 MB past physical VMEM
+        if wd <= 512:
+            dwout = (taps(0, wd) + dwb).astype(dt)
+            h2 = hprev_ref[...] + _gelu_kernel(dwout)
+        else:
+            parts = []
+            for lo in range(0, wd, 512):
+                cw = min(512, wd - lo)
+                dw_c = (taps(lo, cw) + dwb).astype(dt)
+                parts.append(hprev_ref[:, lo:lo + cw, :]
+                             + _gelu_kernel(dw_c))
+            h2 = jnp.concatenate(parts, axis=1)
         y = (jnp.dot(h2.reshape(th * wd, ch), w2_ref[...],
                      preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
         out = xprev_ref[...] + layer_norm(y.reshape(th, wd, c),
@@ -215,7 +237,7 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                    ln2_s, ln2_b, interpret: bool = False):
     b, h, wd, c = attn.shape
     ch = w1.shape[1]
-    th = _pick_row_tile(h, attn.dtype.itemsize)
+    th = _pick_row_tile(h, wd, attn.dtype.itemsize)
     assert th, f"no row tile for H={h}"
     nb = h // th
     dt = attn.dtype
@@ -253,7 +275,8 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=int(os.environ.get("SISR_FFN_VMEM_MB", "64"))
+            vmem_limit_bytes=int(os.environ.get(
+                "SISR_FFN_VMEM_MB", "100" if th * wd > 4096 else "64"))
             * 1024 * 1024),
         interpret=interpret,
     )(attn, shortcut,
@@ -265,16 +288,21 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
 import os
 
 
-def _pick_row_tile(h: int, itemsize: int = 2) -> int:
+def _pick_row_tile(h: int, w: int = 192, itemsize: int = 2) -> int:
     # th in {6,8,12,16} is a wash at whole-flagship level once measured
     # *interleaved in one process* (30.3-30.9 ms for all three, r3); earlier
     # cross-process "wins" for 8/12 were environmental variance (see
     # CLAUDE.md measurement rules).  th=24 is a real loss (34.4).
     # SISR_FFN_TH overrides for A/B sweeps.
+    # Wide bands (strip tiles, e.g. W=1920) must also fit VMEM: with the
+    # lane padding 180->256 the pipe kernel carries ~9 KB per band token of
+    # double-buffered windows + scratch + chunked tap temps against the
+    # 100 MB raised limit — cap th*W near 8k tokens (th=4 at W=1920, th=8
+    # at W=960); 192/512-wide tiles keep th=16.
     env = os.environ.get("SISR_FFN_TH")
-    order = (int(env),) if env else (16, 8, 4)
+    order = (int(env),) if env else (16, 8, 4, 2)
     for th in order:
-        if h % th == 0:
+        if h % th == 0 and (env or th * w <= 8192):
             return th
     return 0
 
@@ -283,7 +311,7 @@ def _htb_tail_pallas(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                      ln2_s, ln2_b, interpret: bool = False):
     b, h, wd, c = attn.shape
     ch = w1.shape[1]
-    th = _pick_row_tile(h, attn.dtype.itemsize)
+    th = _pick_row_tile(h, wd, attn.dtype.itemsize)
     assert th, f"no row tile for H={h}"
     nb = h // th
 
@@ -365,6 +393,6 @@ def _htb_tail_bwd(use_pallas, res, dy):
 htb_tail.defvjp(_htb_tail_fwd, _htb_tail_bwd)
 
 
-def supports_shape(h: int) -> bool:
+def supports_shape(h: int, w: int = 192) -> bool:
     """Whether the kernel's row banding divides this image height."""
-    return _pick_row_tile(h) > 0
+    return _pick_row_tile(h, w) > 0

@@ -49,27 +49,41 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
     f32 = jnp.float32
     dt = a_ref.dtype
     ri = pl.program_id(1)
-    a = a_ref[0].astype(f32)
-    b = b_ref[0].astype(f32)
-    ab = a + b
+    wd = a_ref.shape[2]
 
-    for k, s in enumerate((a, ab, b)):
-        cp_ref[0, 2 * k] = s.mean(-1).astype(dt)
-        cp_ref[0, 2 * k + 1] = s.max(-1).astype(dt)
-        wp_ref[0, 2 * k] = s.mean(1).astype(dt)
-        wp_ref[0, 2 * k + 1] = s.max(1).astype(dt)
-
-    @pl.when(ri == 0)
-    def _init():
+    # Chunk the f32 slab temps (a, a+b, b) over 512-column blocks: the
+    # full-width form at strip shapes (th=8, W=1920) holds ~113 MB of f32
+    # temps past any scoped limit.  All ref slices stay 512-aligned (lane
+    # and sublane), so Mosaic lowers them as plain aligned windows.
+    wacc = [None] * 6                       # (th, C) W-pool accumulators
+    for lo in range(0, wd, 512):
+        cw = min(512, wd - lo)
+        a = a_ref[0][:, lo:lo + cw, :].astype(f32)
+        b = b_ref[0][:, lo:lo + cw, :].astype(f32)
+        ab = a + b
         for k, s in enumerate((a, ab, b)):
-            hp_ref[0, 2 * k] = s.sum(0)
-            hp_ref[0, 2 * k + 1] = s.max(0)
+            cp_ref[0, 2 * k, :, lo:lo + cw] = s.mean(-1).astype(dt)
+            cp_ref[0, 2 * k + 1, :, lo:lo + cw] = s.max(-1).astype(dt)
+            ws, wm = s.sum(1), s.max(1)
+            wacc[2 * k] = ws if wacc[2 * k] is None else wacc[2 * k] + ws
+            wacc[2 * k + 1] = (wm if wacc[2 * k + 1] is None
+                               else jnp.maximum(wacc[2 * k + 1], wm))
+            hs, hm = s.sum(0), s.max(0)
 
-    @pl.when(ri > 0)
-    def _fold():
-        for k, s in enumerate((a, ab, b)):
-            hp_ref[0, 2 * k] += s.sum(0)
-            hp_ref[0, 2 * k + 1] = jnp.maximum(hp_ref[0, 2 * k + 1], s.max(0))
+            @pl.when(ri == 0)
+            def _init(hs=hs, hm=hm, k=k, lo=lo, cw=cw):
+                hp_ref[0, 2 * k, lo:lo + cw, :] = hs
+                hp_ref[0, 2 * k + 1, lo:lo + cw, :] = hm
+
+            @pl.when(ri > 0)
+            def _fold(hs=hs, hm=hm, k=k, lo=lo, cw=cw):
+                hp_ref[0, 2 * k, lo:lo + cw, :] += hs
+                hp_ref[0, 2 * k + 1, lo:lo + cw, :] = jnp.maximum(
+                    hp_ref[0, 2 * k + 1, lo:lo + cw, :], hm)
+
+    for k in range(3):
+        wp_ref[0, 2 * k] = (wacc[2 * k] * (1.0 / wd)).astype(dt)
+        wp_ref[0, 2 * k + 1] = wacc[2 * k + 1].astype(dt)
 
     @pl.when(ri == nb - 1)
     def _finish():
@@ -78,19 +92,26 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
 
 
 def _pick_row_tile(h: int, wd: int = 192) -> int:
-    """Largest row tile dividing h whose band area stays VMEM-friendly (the
-    gate kernel holds ~10 f32 band temps; cap th*wd near the 192-tile
-    default of 3072)."""
-    for th in (16, 8, 4):
-        if h % th == 0 and th * wd <= 4096:
+    """Row tile for the pools and gate kernels.  Both carry blocks with th
+    in the second-minor position (cp/wp outputs; wout/wcorr gate inputs),
+    so Mosaic requires th % 8 == 0.  The gate kernel is the VMEM-heavy one
+    (~5.4 KB of f32 band temps per token at C=180 against its 100 MB scoped
+    limit), capping th*wd near 18k tokens: 192-wide tiles keep th=16, 1920
+    -wide strips pick th=8."""
+    for th in (16, 8):
+        if h % th == 0 and th * wd <= 18000:
             return th
-    return 4 if h % 4 == 0 and 4 * wd <= 8192 else 0
+    return 0
+
+
+# the pools kernel shares the gate kernel's banding constraints
+_pick_pools_tile = _pick_row_tile
 
 
 def _fusion_pools_pallas(a, b, interpret: bool = False):
     bsz, h, wd, c = a.shape
-    th = _pick_row_tile(h, wd)
-    assert th, f"no row tile for H={h}"
+    th = _pick_pools_tile(h, wd)
+    assert th, f"no pools row tile for H={h}"
     nb = h // th
     dt = a.dtype
 
@@ -139,10 +160,12 @@ fusion_pools.defvjp(_fwd, _bwd)
 
 
 def supports_shape(h: int, w: int | None = None) -> bool:
-    """Fused-Fusion eligibility: row-tileable and, for the single-invocation
-    maps kernel (full-image f32 slabs in VMEM), a bounded area."""
+    """Fused-Fusion eligibility: row-tileable for both the pools and gate
+    kernels and, for the single-invocation maps kernel (full-image f32
+    slabs in VMEM), a bounded area."""
     w = h if w is None else w
-    return _pick_row_tile(h, w) > 0 and h * w <= 640_000
+    return (_pick_row_tile(h, w) > 0 and _pick_pools_tile(h, w) > 0
+            and h * w <= 640_000)
 
 
 # ---------------------------------------------------------------------------
@@ -274,29 +297,39 @@ def _gate_kernel(a_ref, b_ref, p27_ref, k1_ref, hout_ref, wout_ref,
     c = a_ref.shape[3]
     dt = o_ref.dtype
     ri = pl.program_id(1)
-
-    base = jnp.dot(p27_ref[0, 0], k1_ref[...],
-                   preferred_element_type=f32)               # (th*wd, 3C)
     row = ri * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, wd, 1), 1)
 
-    atts = []
-    for k in range(3):
-        att = (base[:, k * c:(k + 1) * c].reshape(th, wd, c)
-               + hout_ref[0, k][None]
-               + wout_ref[0, k][:, None, :]
-               - jnp.where(row == 0, hcorr_ref[0, 0, k][None], 0.0)
-               - jnp.where(row == h_img - 1, hcorr_ref[0, 1, k][None], 0.0)
-               - jnp.where(col == 0, wcorr_ref[0, 0, k][:, None, :], 0.0)
-               - jnp.where(col == wd - 1, wcorr_ref[0, 1, k][:, None, :], 0.0))
-        atts.append(att)
+    # Chunk over 512-column blocks: the full-width form at strip shapes
+    # (th=8, W=1920) holds ~110 MB of f32 base/att temps on the stack.
+    for lo in range(0, wd, 512):
+        cw = min(512, wd - lo)
+        p = p27_ref[0, 0][:, lo:lo + cw, :].reshape(th * cw, 27)
+        base = jnp.dot(p, k1_ref[...], preferred_element_type=f32)
+        col = lo + jax.lax.broadcasted_iota(jnp.int32, (1, cw, 1), 1)
 
-    a = a_ref[0].astype(f32)
-    b = b_ref[0].astype(f32)
-    gate = jax.nn.sigmoid(atts[1])
-    out = (a * jax.nn.sigmoid(atts[0] * gate)
-           + b * jax.nn.sigmoid(atts[2] * (1.0 - gate)))
-    o_ref[0] = out.astype(dt)
+        atts = []
+        for k in range(3):
+            att = (base[:, k * c:(k + 1) * c].reshape(th, cw, c)
+                   + hout_ref[0, k][lo:lo + cw][None]
+                   + wout_ref[0, k][:, None, :]
+                   - jnp.where(row == 0,
+                               hcorr_ref[0, 0, k][lo:lo + cw][None], 0.0)
+                   - jnp.where(row == h_img - 1,
+                               hcorr_ref[0, 1, k][lo:lo + cw][None], 0.0))
+            if lo == 0:
+                att -= jnp.where(col == 0,
+                                 wcorr_ref[0, 0, k][:, None, :], 0.0)
+            if lo + cw == wd:
+                att -= jnp.where(col == wd - 1,
+                                 wcorr_ref[0, 1, k][:, None, :], 0.0)
+            atts.append(att)
+
+        a = a_ref[0][:, lo:lo + cw, :].astype(f32)
+        b = b_ref[0][:, lo:lo + cw, :].astype(f32)
+        gate = jax.nn.sigmoid(atts[1])
+        out = (a * jax.nn.sigmoid(atts[0] * gate)
+               + b * jax.nn.sigmoid(atts[2] * (1.0 - gate)))
+        o_ref[0, :, lo:lo + cw, :] = out.astype(dt)
 
 
 def _pack_params(raws, c, dt):
@@ -373,11 +406,12 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
         interpret=interpret,
     )(cp3, hp3, wp3, c1w, c2w, c3w, cb, khw, clb)
 
-    # 27-lane im2col of the three c_att maps (tap t = 9k + i*3 + j)
+    # 27-lane im2col of the three c_att maps (tap t = 9k + i*3 + j); kept
+    # (th, wd)-shaped so the gate kernel's column chunks slice aligned
     cpad = jnp.pad(catt3, ((0, 0), (0, 0), (1, 1), (1, 1))).astype(dt)
     taps = jnp.stack([cpad[:, :, i:i + h, j:j + wd]
                       for i in range(3) for j in range(3)], axis=-1)
-    p27 = taps.transpose(0, 2, 3, 1, 4).reshape(bsz, nb, th * wd, 27)
+    p27 = taps.transpose(0, 2, 3, 1, 4).reshape(bsz, nb, th, wd, 27)
 
     body = pl.BlockSpec((1, th, wd, c), lambda bi, ri: (bi, ri, 0, 0))
     return pl.pallas_call(
@@ -385,7 +419,7 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
         grid=(bsz, nb),
         in_specs=[
             body, body,
-            pl.BlockSpec((1, 1, th * wd, 27), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, 1, th, wd, 27), lambda bi, ri: (bi, ri, 0, 0, 0)),
             pl.BlockSpec((27, 3 * c), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, 3, wd, c), lambda bi, ri: (bi, 0, 0, 0)),
             pl.BlockSpec((1, 3, th, c), lambda bi, ri: (bi, 0, ri, 0)),

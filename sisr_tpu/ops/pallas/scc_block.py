@@ -105,10 +105,10 @@ def _make_kernel(heads: int, with_sca: bool):
     def kernel(*refs):
         if with_sca:
             (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
-             w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
+             wkv_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
              hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
         else:
-            (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
+            (x_ref, wkv_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
              maskT_ref, hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref,
              o_ref) = refs
         del maskT_ref  # only the legacy band-real branch contracts against it
@@ -143,8 +143,8 @@ def _make_kernel(heads: int, with_sca: bool):
                 a, b, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
 
-        k = (jnp.dot(q, w1_ref[...], preferred_element_type=f32)
-             + jnp.dot(v, w2_ref[...], preferred_element_type=f32)
+        # k = q@w1 + v@w2 == qkv @ [w1; w2] — one K=C matmul
+        k = (jnp.dot(qkv, wkv_ref[...], preferred_element_type=f32)
              + bb_ref[0, :]).astype(dt)
         gramT = (dotT(k, q) / float(l_full)).astype(dt)    # == (qᵀk)ᵀ / L
         pmatT = pmatT_ref[...].astype(dt)                  # (L, l_base)
@@ -157,10 +157,20 @@ def _make_kernel(heads: int, with_sca: bool):
         out_s = (jnp.dot(q, m, preferred_element_type=f32)
                  + jnp.dot(bias_ref[...], v_big,
                            preferred_element_type=f32)).astype(dt)
-        out_c = jnp.dot(v, gramT, preferred_element_type=f32).astype(dt)
-        out = (jnp.dot(out_s, p1_ref[...], preferred_element_type=f32)
-               + jnp.dot(out_c, p2_ref[...], preferred_element_type=f32)
-               + pjb_ref[0].astype(f32))
+        if l_full >= 1024:
+            # fold proj2 through the gram: out_c@P2 == v@(gramT@P2) — the
+            # (L, half) out_c matmul (L/128 MXU passes) becomes a constant
+            # (half, c) build (2 passes); wins once L/128 > 2
+            g2 = jnp.dot(gramT, p2_ref[...],
+                         preferred_element_type=f32).astype(dt)
+            out = (jnp.dot(out_s, p1_ref[...], preferred_element_type=f32)
+                   + jnp.dot(v, g2, preferred_element_type=f32)
+                   + pjb_ref[0].astype(f32))
+        else:
+            out_c = jnp.dot(v, gramT, preferred_element_type=f32).astype(dt)
+            out = (jnp.dot(out_s, p1_ref[...], preferred_element_type=f32)
+                   + jnp.dot(out_c, p2_ref[...], preferred_element_type=f32)
+                   + pjb_ref[0].astype(f32))
         o_ref[0] = out.astype(dt).reshape(wh, ww, c)
 
     return kernel
@@ -187,10 +197,10 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool,
     def kernel(*refs):
         if with_sca:
             (x_ref, p_ref, w9a_ref, b9a_ref, w9m_ref, b9m_ref, s1_ref, s2_ref,
-             w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
+             wkv_ref, bb_ref, pmatT_ref, pb_ref, mask_ref, maskT_ref,
              hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref, o_ref) = refs
         else:
-            (x_ref, w1_ref, w2_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
+            (x_ref, wkv_ref, bb_ref, pmatT_ref, pb_ref, mask_ref,
              maskT_ref, hmask_ref, bias_ref, p1_ref, p2_ref, pjb_ref,
              o_ref) = refs
 
@@ -219,8 +229,7 @@ def _make_band_kernel(heads: int, ww: int, with_sca: bool,
 
         q = qkv[:, :half]
         v = qkv[:, half:]
-        k = (jnp.dot(q, w1_ref[...], preferred_element_type=f32)
-             + jnp.dot(v, w2_ref[...], preferred_element_type=f32)
+        k = (jnp.dot(qkv, wkv_ref[...], preferred_element_type=f32)
              + bb_ref[0, :]).astype(dt)
 
         def towin(t):  # (T, F) -> (nW, L, F)
@@ -353,12 +362,12 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     hmask = jnp.asarray(
         (np.arange(half)[:, None] // dhead
          == np.arange(half)[None, :] // dhead).astype(np.float32), dtype=dt)
-    ins += [w1, w2, bb, pmat_in, pb, mask, maskT, hmask, bias,
+    wkv = jnp.concatenate([w1, w2], axis=0).astype(dt)   # k = qkv @ [w1; w2]
+    ins += [wkv, bb, pmat_in, pb, mask, maskT, hmask, bias,
             proj_k[:half].astype(dt), proj_k[half:].astype(dt),
             proj_b.reshape(1, c).astype(dt)]
     in_specs += [
-        pl.BlockSpec(w1.shape, const),
-        pl.BlockSpec(w2.shape, const),
+        pl.BlockSpec(wkv.shape, const),
         pl.BlockSpec(bb.shape, const),
         pmat_spec,
         pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
@@ -378,10 +387,12 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
         out_specs=pl.BlockSpec(x_block, win_spec),
         out_shape=jax.ShapeDtypeStruct(x.shape, dt),
         # v5e has 128 MB of physical VMEM; the 64-window blocks need more
-        # than the compiler's default 16 MB scoped limit
+        # than the compiler's default 16 MB scoped limit, and the band
+        # kernels over wide strip tiles (480 windows/row at W=1920) need
+        # more than 64 MB of f32 window intermediates
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * (len(grid) - 1) + ("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=(100 if band and wp > 512 else 64) * 1024 * 1024),
         interpret=interpret,
     )(*ins)
 

@@ -21,7 +21,7 @@ Images smaller than the tile are padded up, run, and cropped.
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable, List, Tuple, Union
 
 import numpy as np
 import jax
@@ -41,14 +41,22 @@ def tile_positions(length: int, tile: int, overlap: int) -> List[int]:
 class TiledSR:
     """Callable running ``model_apply`` over overlapping tiles of one image.
 
-    model_apply: (variables, (k,t,t,3) NHWC) -> (k, t*s, t*s, 3)
+    model_apply: (variables, (k,th,tw,3) NHWC) -> (k, th*s, tw*s, 3)
+
+    ``tile`` may be an int (square tiles) or an (th, tw) pair — rectangular
+    strip tiles (e.g. (192, 1920) for 1080p frames, where 1920 = 10*192 is
+    already a window-ladder multiple) cut the overlap-redundant compute from
+    ~17% to ~7% and run 6 kernel launches per frame instead of 66.
     """
 
-    def __init__(self, model_apply: Callable, scale: int, tile: int = 192,
+    def __init__(self, model_apply: Callable, scale: int,
+                 tile: Union[int, Tuple[int, int]] = 192,
                  overlap: int = 16, chunk: int = 1, out_dtype=jnp.float32):
         self.model_apply = model_apply
         self.scale = scale
         self.tile = tile
+        self.tile_h, self.tile_w = ((tile, tile) if isinstance(tile, int)
+                                    else (int(tile[0]), int(tile[1])))
         self.overlap = overlap
         self.chunk = chunk
         self.out_dtype = out_dtype
@@ -56,8 +64,8 @@ class TiledSR:
 
     def _positions(self, h: int, w: int) -> np.ndarray:
         pos = np.asarray([(y, x)
-                          for y in tile_positions(h, self.tile, self.overlap)
-                          for x in tile_positions(w, self.tile, self.overlap)],
+                          for y in tile_positions(h, self.tile_h, self.overlap)
+                          for x in tile_positions(w, self.tile_w, self.overlap)],
                          dtype=np.int32)
         # pad to a chunk multiple by repeating the last tile; the weight map
         # counts duplicates so the overlap average stays exact
@@ -67,14 +75,15 @@ class TiledSR:
         return pos
 
     def _weight_map(self, h: int, w: int, pos: np.ndarray) -> np.ndarray:
-        s, t = self.scale, self.tile
+        s, th, tw = self.scale, self.tile_h, self.tile_w
         wmap = np.zeros((h * s, w * s, 1), dtype=np.float32)
         for y, x in pos:
-            wmap[y * s:(y + t) * s, x * s:(x + t) * s] += 1.0
+            wmap[y * s:(y + th) * s, x * s:(x + tw) * s] += 1.0
         return 1.0 / wmap
 
     def _build(self, h: int, w: int):
-        s, t, c = self.scale, self.tile, self.chunk
+        s, c = self.scale, self.chunk
+        th, tw = self.tile_h, self.tile_w
         pos = self._positions(h, w)
         inv_w = jnp.asarray(self._weight_map(h, w, pos))
         pos_chunks = pos.reshape(-1, c, 2)
@@ -85,12 +94,14 @@ class TiledSR:
 
             def body(acc, yx):
                 patches = jnp.stack([
-                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0), (t, t, 3))
+                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0),
+                                          (th, tw, 3))
                     for i in range(c)])
                 sr = self.model_apply(variables, patches).astype(self.out_dtype)
                 for i in range(c):
                     y, x = yx[i, 0] * s, yx[i, 1] * s
-                    cur = jax.lax.dynamic_slice(acc, (y, x, 0), (t * s, t * s, 3))
+                    cur = jax.lax.dynamic_slice(acc, (y, x, 0),
+                                                (th * s, tw * s, 3))
                     acc = jax.lax.dynamic_update_slice(acc, cur + sr[i], (y, x, 0))
                 return acc, None
 
@@ -110,7 +121,8 @@ class TiledSR:
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
-        s, t, c = self.scale, self.tile, self.chunk
+        s, c = self.scale, self.chunk
+        th, tw = self.tile_h, self.tile_w
         n_dev = mesh.shape[axis]
         pos = self._positions(h, w)
         # pad positions to n_dev * chunk granularity (duplicates are counted
@@ -131,12 +143,14 @@ class TiledSR:
 
             def body(acc, yx):
                 patches = jnp.stack([
-                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0), (t, t, 3))
+                    jax.lax.dynamic_slice(img, (yx[i, 0], yx[i, 1], 0),
+                                          (th, tw, 3))
                     for i in range(c)])
                 sr = self.model_apply(variables, patches).astype(self.out_dtype)
                 for i in range(c):
                     y, x = yx[i, 0] * s, yx[i, 1] * s
-                    cur = jax.lax.dynamic_slice(acc, (y, x, 0), (t * s, t * s, 3))
+                    cur = jax.lax.dynamic_slice(acc, (y, x, 0),
+                                                (th * s, tw * s, 3))
                     acc = jax.lax.dynamic_update_slice(acc, cur + sr[i], (y, x, 0))
                 return acc, None
 
@@ -160,8 +174,8 @@ class TiledSR:
                      axis: str = "tile") -> jnp.ndarray:
         """Tile-sharded multi-chip inference: img (H, W, 3) -> (H*s, W*s, 3)."""
         h, w = img.shape[:2]
-        ph = max(0, self.tile - h)
-        pw = max(0, self.tile - w)
+        ph = max(0, self.tile_h - h)
+        pw = max(0, self.tile_w - w)
         if ph or pw:
             mode = "reflect" if (ph < h and pw < w) else "symmetric"
             img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
@@ -177,8 +191,8 @@ class TiledSR:
     def __call__(self, variables, img: jnp.ndarray) -> jnp.ndarray:
         """img: (H, W, 3) in [0,1] -> (H*scale, W*scale, 3)."""
         h, w = img.shape[:2]
-        ph = max(0, self.tile - h)
-        pw = max(0, self.tile - w)
+        ph = max(0, self.tile_h - h)
+        pw = max(0, self.tile_w - w)
         if ph or pw:
             # reflect requires pad < dim; fall back to symmetric for tiny inputs
             mode = "reflect" if (ph < h and pw < w) else "symmetric"

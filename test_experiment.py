@@ -45,8 +45,16 @@ def load_model_weights(model, weights_path: str):
                       jnp.zeros((1, 64, 64, 3), jnp.float32))
 
 
+def parse_tile(spec: str):
+    """"192" -> 192 (square) or "192x1920" -> (192, 1920) strip tiles."""
+    if "x" in spec:
+        th, tw = (int(v) for v in spec.split("x"))
+        return (th, tw)
+    return int(spec)
+
+
 def main(img_path: str, out_path: str = None, weights_path: str = DEFAULT_WEIGHTS,
-         show: bool = False):
+         show: bool = False, tile="192"):
     import jax.numpy as jnp
     from PIL import Image
     from sisr_tpu.parallel.tiling import TiledSR
@@ -57,7 +65,8 @@ def main(img_path: str, out_path: str = None, weights_path: str = DEFAULT_WEIGHT
     with Image.open(img_path) as handle:
         lr = np.asarray(handle.convert("RGB"), dtype=np.float32) / 255.0
 
-    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4)
+    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4,
+                     tile=parse_tile(str(tile)))
     sr = np.clip(np.asarray(runner(variables, jnp.asarray(lr))), 0.0, 1.0)
     result = Image.fromarray((sr * 255.0).round().astype(np.uint8))
 
@@ -93,10 +102,12 @@ if __name__ == "__main__":
     p.add_argument("-o", "--out", default=None)
     p.add_argument("--weights", default=DEFAULT_WEIGHTS)
     p.add_argument("--show", action="store_true")
+    p.add_argument("--tile", default="192",
+                   help='tile size: "192" (square) or "192x1920" (strips)')
     p.add_argument("--make-lr", action="store_true",
                    help="emit a bicubic LR of the input instead of running SR")
     args = p.parse_args()
     if args.make_lr:
         print(get_bicubic_lr(args.image))
     else:
-        main(args.image, args.out, args.weights, args.show)
+        main(args.image, args.out, args.weights, args.show, args.tile)

@@ -304,3 +304,108 @@ def test_fused_fusion_kernels_match_reference():
     got = _fused_fusion_pallas(a, b, raws, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_row_tile_picks_are_vmem_aware():
+    """Wide strip tiles must shrink the row band; square tiles keep th=16."""
+    from sisr_tpu.ops.pallas import conv3x3 as c3
+    from sisr_tpu.ops.pallas import ffn as f
+
+    # ffn: 192-wide tiles keep the measured th=16 default; 1920-wide strips
+    # drop to th=4 (double-buffered windows + scratch + chunked tap temps
+    # vs the 100 MB raised limit)
+    assert f._pick_row_tile(192, 192) == 16
+    assert f._pick_row_tile(192, 1920) == 4
+    assert f._pick_row_tile(192, 960) == 8
+    assert f.supports_shape(192, 1920)
+
+    # conv3x3: square-tile picks unchanged (192 LR body, 768 HR head)
+    assert c3._pick_row_tile(192, 192, 180, 180) == 16
+    assert c3._pick_row_tile(768, 768, 64, 64) == 16
+    # strips: LR body 1920-wide and HR head 7680-wide shrink the band
+    assert c3._pick_row_tile(192, 1920, 180, 180) == 4
+    assert c3._pick_row_tile(768, 7680, 64, 64) == 4
+    assert c3.supports_shape(768, 7680, 64, 64)
+
+
+def test_ffn_pipe_kernel_rect_width_parity():
+    """Pipe kernel at a non-square width (th chosen < h) vs the reference."""
+    from sisr_tpu.ops.pallas.ffn import _htb_tail_pipe, htb_tail_reference
+
+    rng = np.random.default_rng(11)
+    h, w, c, ch = 16, 256, 32, 64
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    attn, short = mk(1, h, w, c), mk(1, h, w, c)
+    args = (attn, short, mk(c), mk(c), mk(c, ch), mk(ch), mk(5, 5, ch),
+            mk(ch), mk(ch, c), mk(c), mk(c), mk(c))
+    import os
+    os.environ["SISR_FFN_TH"] = "8"   # force multi-band pipeline
+    try:
+        got = _htb_tail_pipe(*args, interpret=True)
+    finally:
+        del os.environ["SISR_FFN_TH"]
+    want = htb_tail_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_fusion_rect_strip_shape():
+    """Wide-strip shape: gate and pools kernels pick different row tiles
+    (pools needs th%8 for its output blocks); parity in interpret mode."""
+    from sisr_tpu.ops.pallas.fusion_ops import (_fused_fusion_pallas,
+                                                _pick_pools_tile,
+                                                _pick_row_tile,
+                                                fused_fusion_reference,
+                                                supports_shape)
+
+    assert _pick_pools_tile(192, 1920) == 8
+    assert _pick_row_tile(192, 1920) == 8  # th%8: gate wout/wcorr blocks
+    assert _pick_row_tile(192, 192) == 16
+    assert supports_shape(192, 1920)
+    assert not supports_shape(1152, 1920)  # beyond the maps-kernel area cap
+
+    rng = np.random.default_rng(9)
+    c = 12
+    a = jnp.asarray(rng.normal(size=(1, 16, 48, c)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 16, 48, c)).astype(np.float32))
+    raws = tuple(_random_ua_raws(rng, c))
+    ref = fused_fusion_reference(a, b, raws)
+    got = _fused_fusion_pallas(a, b, raws, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_ffn_pipe_kernel_chunked_taps_parity():
+    """wd > 512 triggers the column-chunked tap build; parity incl. the
+    ragged last chunk (768 = 512 + 256)."""
+    from sisr_tpu.ops.pallas.ffn import _htb_tail_pipe, htb_tail_reference
+
+    rng = np.random.default_rng(12)
+    h, w, c, ch = 8, 768, 8, 16
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    args = (mk(1, h, w, c), mk(1, h, w, c), mk(c), mk(c), mk(c, ch), mk(ch),
+            mk(5, 5, ch), mk(ch), mk(ch, c), mk(c), mk(c), mk(c))
+    import os
+    os.environ["SISR_FFN_TH"] = "4"
+    try:
+        got = _htb_tail_pipe(*args, interpret=True)
+    finally:
+        del os.environ["SISR_FFN_TH"]
+    want = htb_tail_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_conv3x3_kernel_chunked_im2col_parity():
+    """wd > 512 triggers the column-chunked im2col build (both cin<128
+    packed and cin>=128 9-matmul paths are chunk-parametric)."""
+    from sisr_tpu.ops.pallas.conv3x3 import _conv3x3_pallas, conv3x3_reference
+
+    rng = np.random.default_rng(13)
+    y = jnp.asarray(rng.standard_normal((1, 8, 640, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 10)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((10,)).astype(np.float32))
+    got = _conv3x3_pallas(y, None, k, b, "leaky", interpret=True)
+    want = conv3x3_reference(y, None, k, b, "leaky")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

@@ -115,3 +115,49 @@ def test_tiled_small_image_padding():
     assert out.shape == (80, 96, 3)
     np.testing.assert_allclose(out, np.asarray(nearest_upsample(img[None], 4)[0]),
                                atol=1e-6)
+
+
+def test_rect_strip_tiles_blend_exact():
+    """Rectangular (strip) tiles: blend must stay exact and cover the image,
+    including a strip wider than the image (padded then cropped)."""
+    def fake_apply(variables, x):
+        return nearest_upsample(x * 2.0 + variables["b"], 4)
+
+    variables = {"b": jnp.float32(0.25)}
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((70, 64, 3), dtype=np.float32))
+    ref = np.asarray(nearest_upsample((img * 2.0 + 0.25)[None], 4)[0])
+
+    # full-width strips: only vertical tiling
+    runner = TiledSR(fake_apply, scale=4, tile=(16, 64), overlap=8)
+    out = np.asarray(runner(variables, img))
+    assert out.shape == (280, 256, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # the strip runner compiled exactly ceil over one axis positions
+    assert len(runner._positions(70, 64)) == len(tile_positions(70, 16, 8))
+
+    # strip wider than the image: pad right, crop back
+    runner_w = TiledSR(fake_apply, scale=4, tile=(16, 96), overlap=8)
+    out_w = np.asarray(runner_w(variables, img))
+    assert out_w.shape == (280, 256, 3)
+    np.testing.assert_allclose(out_w, ref, atol=1e-6)
+
+
+def test_rect_strip_model_matches_square_tiling():
+    """A real attention model through strip tiles must match square tiles
+    where both see identical context (strip == whole image width)."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+
+    model = HiTSIR(is_mult_size_conv_feat_extract=False, is_channel_spatial_attn=False,
+                   is_fusion=False, embed_dim=16, depths=(1,), num_heads=(2,),
+                   base_win_size=(4, 4), mlp_ratio=1.0, upsampler="pixelshuffledirect",
+                   upscale=4, hier_win_ratios=(1,))
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.random((16, 32, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[None])
+
+    whole = np.asarray(model.apply(variables, img[None])[0])
+    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=(16, 32),
+                     overlap=4)
+    strip = np.asarray(runner(variables, img))
+    np.testing.assert_allclose(strip, whole, atol=1e-5)
