@@ -53,17 +53,30 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
 
     # Chunk the f32 slab temps (a, a+b, b) over 512-column blocks: the
     # full-width form at strip shapes (th=8, W=1920) holds ~113 MB of f32
-    # temps past any scoped limit.  All ref slices stay 512-aligned (lane
-    # and sublane), so Mosaic lowers them as plain aligned windows.
+    # temps past any scoped limit.  Input slices ride the sublane axis
+    # (any 8-multiple offset/width is legal); the cp outputs put W on the
+    # LANE axis, where ref slices must be 128-aligned.  When every chunk
+    # width is a 128 multiple (e.g. 1920 = 3x512 + 384) cp chunks are
+    # written as direct lane slices — deferring them to a final lane
+    # concat extends the chunk lifetimes and blows the VMEM stack (89 MB
+    # vs the 64 MB limit at 1920/th8, measured).  Widths whose tail chunk
+    # misaligns (e.g. 960 = 512 + 448, and 448 % 128 != 0 crashes Mosaic
+    # as a lane slice) fall back to the register concat.
+    lane_aligned = (wd % 512) % 128 == 0
     wacc = [None] * 6                       # (th, C) W-pool accumulators
+    cacc = [[] for _ in range(6)]           # (th, cw) C-pool chunks
     for lo in range(0, wd, 512):
         cw = min(512, wd - lo)
         a = a_ref[0][:, lo:lo + cw, :].astype(f32)
         b = b_ref[0][:, lo:lo + cw, :].astype(f32)
         ab = a + b
         for k, s in enumerate((a, ab, b)):
-            cp_ref[0, 2 * k, :, lo:lo + cw] = s.mean(-1).astype(dt)
-            cp_ref[0, 2 * k + 1, :, lo:lo + cw] = s.max(-1).astype(dt)
+            if lane_aligned:
+                cp_ref[0, 2 * k, :, lo:lo + cw] = s.mean(-1).astype(dt)
+                cp_ref[0, 2 * k + 1, :, lo:lo + cw] = s.max(-1).astype(dt)
+            else:
+                cacc[2 * k].append(s.mean(-1).astype(dt))
+                cacc[2 * k + 1].append(s.max(-1).astype(dt))
             ws, wm = s.sum(1), s.max(1)
             wacc[2 * k] = ws if wacc[2 * k] is None else wacc[2 * k] + ws
             wacc[2 * k + 1] = (wm if wacc[2 * k + 1] is None
@@ -84,6 +97,10 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
     for k in range(3):
         wp_ref[0, 2 * k] = (wacc[2 * k] * (1.0 / wd)).astype(dt)
         wp_ref[0, 2 * k + 1] = wacc[2 * k + 1].astype(dt)
+    if not lane_aligned:
+        for j in range(6):
+            cp_ref[0, j] = (cacc[j][0] if len(cacc[j]) == 1
+                            else jnp.concatenate(cacc[j], axis=1))
 
     @pl.when(ri == nb - 1)
     def _finish():
@@ -94,12 +111,15 @@ def _pools_kernel(a_ref, b_ref, cp_ref, hp_ref, wp_ref, *, nb: int, h: int):
 def _pick_row_tile(h: int, wd: int = 192) -> int:
     """Row tile for the pools and gate kernels.  Both carry blocks with th
     in the second-minor position (cp/wp outputs; wout/wcorr gate inputs),
-    so Mosaic requires th % 8 == 0.  The gate kernel is the VMEM-heavy one
-    (~5.4 KB of f32 band temps per token at C=180 against its 100 MB scoped
-    limit), capping th*wd near 18k tokens: 192-wide tiles keep th=16, 1920
-    -wide strips pick th=8."""
-    for th in (16, 8):
-        if h % th == 0 and th * wd <= 18000:
+    so Mosaic requires th % 8 == 0.  VMEM feasibility is NOT linear in
+    th*wd: the pools kernel's f32 chunk slabs scale with th, so th=16
+    compiles up to wd=768 but crashes the compiler at 960/1024 while th=8
+    compiles at equal token counts (15360 = 8x1920, measured v5e matrix:
+    960/8 OK, 768/16 OK, 640/16 OK, 960/16 FAIL, 1024/16 FAIL).  Caps per
+    th stay inside the proven region; 192-wide tiles keep th=16, >=960
+    strips pick th=8."""
+    for th, max_wd in ((16, 768), (8, 1920)):
+        if h % th == 0 and wd <= max_wd:
             return th
     return 0
 

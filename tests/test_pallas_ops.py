@@ -238,6 +238,26 @@ def test_fusion_pools_kernel_matches_reference():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_fusion_pools_kernel_chunked_widths():
+    """Column-chunked slab build parity on both cp-write paths: wd=640
+    (tail 128 — 128-aligned direct lane-slice writes) and wd=576 (tail 64
+    — misaligned, must lane-concat the cp chunks; a misaligned lane slice
+    like 960's 448 tail crashes Mosaic, and deferring ALL widths to the
+    concat blows the VMEM stack at 1920/th8 — both measured v5e)."""
+    from sisr_tpu.ops.pallas.fusion_ops import (_fusion_pools_pallas,
+                                                fusion_pools_reference)
+
+    rng = np.random.default_rng(3)
+    for wd in (640, 576):
+        a = jnp.asarray(rng.normal(size=(1, 16, wd, 12)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(1, 16, wd, 12)).astype(np.float32))
+        refs = fusion_pools_reference(a, b)
+        gots = _fusion_pools_pallas(a, b, interpret=True)
+        for got, ref in zip(gots, refs):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5)
+
+
 def test_union_attention_pools_path_equivalent():
     """UA fed precomputed pools == UA computing its own pools."""
     from sisr_tpu.models.hit_sir_pro import UnionAttention
@@ -361,6 +381,10 @@ def test_fused_fusion_rect_strip_shape():
     assert _pick_pools_tile(192, 1920) == 8
     assert _pick_row_tile(192, 1920) == 8  # th%8: gate wout/wcorr blocks
     assert _pick_row_tile(192, 192) == 16
+    # th=16 compiles only up to wd=768 (measured pools VMEM matrix); 960
+    # strips must drop to th=8 even though 16*960 < 8*1920 tokens
+    assert _pick_row_tile(192, 960) == 8
+    assert _pick_row_tile(192, 768) == 16
     assert supports_shape(192, 1920)
     assert not supports_shape(1152, 1920)  # beyond the maps-kernel area cap
 

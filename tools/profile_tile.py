@@ -23,9 +23,9 @@ from sisr_tpu.models.hit_sir_pro import HiTSIR, flagship_config  # noqa: E402
 LOGDIR = "/tmp/jaxtrace"
 
 
-def capture():
+def capture(h: int = 192, w: int = 192):
     model = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
-    x = jnp.asarray(np.random.default_rng(0).random((1, 192, 192, 3), np.float32))
+    x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3), np.float32))
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     f = jax.jit(lambda v, x: model.apply(v, x).sum())
     float(f(v, x))  # compile + warm
@@ -129,6 +129,9 @@ def analyze_glue(top: int = 60):
 
 
 if __name__ == "__main__":
-    capture()
+    # usage: profile_tile.py [H W]  (e.g. 192 1920 for strip tiles)
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else h
+    capture(h, w)
     analyze()
     analyze_glue()
