@@ -444,7 +444,8 @@ class SCC(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 stats=None) -> jnp.ndarray:
         b, hp, wp, c = x.shape
         wh, ww = self.window_size
         # base window = elementwise min(window, base) (reference :415-417)
@@ -469,12 +470,23 @@ class SCC(nn.Module):
             def dense(t, kb):
                 return t.astype(dt) @ kb[0].astype(dt) + kb[1].astype(dt)
 
-            sp_avg = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
-            sp_max = x.max(axis=(1, 2), keepdims=True)
+            if stats is not None:
+                # all four global passes over x were already emitted by the
+                # previous block's fused tail kernel (ffn.htb_tail_stats);
+                # only valid when x needed no window padding (gated by HTB)
+                cmean, cmax, ssum, smax = stats
+                sp_avg = (ssum.astype(dt) / float(hp * wp)).reshape(b, 1, 1, c)
+                sp_max = smax.astype(dt).reshape(b, 1, 1, c)
+            else:
+                cmean = cmax = None
+                sp_avg = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
+                sp_max = x.max(axis=(1, 2), keepdims=True)
             s1 = dense(dense(sp_avg, f1), s1d)
             s2 = dense(dense(sp_max, f2), s2d)
             sca = (l1k.reshape(9, c).astype(dt), l1b.astype(dt),
                    l2k.reshape(9, c).astype(dt), l2b.astype(dt), s1, s2)
+            if cmean is not None:
+                sca = sca + (cmean, cmax)
 
         k1_kernel, k1_bias = LinearParams(d, d, name="k_generate1")()
         k2_kernel, k2_bias = LinearParams(d, d, name="k_generate2")()
@@ -624,13 +636,21 @@ class HierarchicalTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 emit_stats: bool = False, stats=None) -> jnp.ndarray:
         from sisr_tpu.ops.pallas.dwconv import depthwise_conv_reference
-        from sisr_tpu.ops.pallas.ffn import htb_tail, layer_norm, supports_shape
+        from sisr_tpu.ops.pallas.ffn import (htb_tail, htb_tail_stats,
+                                             layer_norm, stats_reference,
+                                             supports_shape)
 
         b, h, w, c = x.shape
         dt = self.dtype
         shortcut = x
+        wh, ww = self.window_size
+        # folded stats are pools over the UNPADDED x; usable only when this
+        # block's window needs no padding (then xp == x)
+        if not (deterministic and h % wh == 0 and w % ww == 0):
+            stats = None
         xp = pad_to_multiple(x, self.window_size)  # reflect (reference :664-674)
         xp = SCC(
             dim=self.dim,
@@ -642,7 +662,7 @@ class HierarchicalTransformerBlock(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             name="correlation",
-        )(xp, deterministic=deterministic)
+        )(xp, deterministic=deterministic, stats=stats)
         attn = xp[:, :h, :w, :]
 
         ln1_s, ln1_b = LayerNormParams(self.dim, name="norm1")()
@@ -675,12 +695,21 @@ class HierarchicalTransformerBlock(nn.Module):
         use_pallas = (jax.default_backend() == "tpu"
                       and supports_shape(h, w)
                       and os.environ.get("SISR_FUSED_FFN", "1") == "1")
-        return htb_tail(attn, shortcut,
-                        ln1_s.astype(dt), ln1_b.astype(dt),
-                        fc1_k.astype(dt), fc1_b.astype(dt),
-                        dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt),
-                        fc2_k.astype(dt), fc2_b.astype(dt),
-                        ln2_s.astype(dt), ln2_b.astype(dt), use_pallas)
+        args = (attn, shortcut,
+                ln1_s.astype(dt), ln1_b.astype(dt),
+                fc1_k.astype(dt), fc1_b.astype(dt),
+                dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt),
+                fc2_k.astype(dt), fc2_b.astype(dt),
+                ln2_s.astype(dt), ln2_b.astype(dt))
+        if emit_stats:
+            # eval-only fused-stats tail (see ffn.htb_tail_stats); the jnp
+            # fallback keeps the (out, stats) interface at identical cost to
+            # the consumer computing the pools itself
+            if use_pallas and os.environ.get("SISR_FFN_PIPE", "1") == "1":
+                return htb_tail_stats(*args, True)
+            out = htb_tail(*args, use_pallas)
+            return out, stats_reference(out)
+        return htb_tail(*args, use_pallas)
 
 
 class ThreeConv(nn.Module):
@@ -718,11 +747,20 @@ class RHTB(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = x
+        _, h, w, _ = x.shape
         # gradient checkpointing analog of reference :831-833
         block_cls = (nn.remat(HierarchicalTransformerBlock, static_argnums=(2,))
                      if self.use_checkpoint else HierarchicalTransformerBlock)
+        # eval-only: each block's fused tail kernel emits the SCA pool stats
+        # the NEXT block needs, when that block's window won't pad
+        thread = deterministic and not self.use_checkpoint
+        stats = None
         for i in range(self.depth):
-            y = block_cls(
+            nxt = self.window_sizes[i + 1] if i + 1 < self.depth else None
+            want = (thread and nxt is not None
+                    and h % nxt[0] == 0 and w % nxt[1] == 0
+                    and self.is_channel_spatial_attn)
+            block = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 base_win_size=self.base_win_size,
@@ -734,7 +772,12 @@ class RHTB(nn.Module):
                 is_channel_spatial_attn=self.is_channel_spatial_attn,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(y, deterministic)
+            )
+            if thread:
+                out = block(y, deterministic, emit_stats=want, stats=stats)
+                y, stats = out if want else (out, None)
+            else:
+                y = block(y, deterministic)
         if self.resi_connection == "3conv":
             return x + ThreeConv(self.dim, self.dtype, name="conv")(y)
         return FusedConv3x3(self.dim, "none", self.dtype, name="conv")(y, x)

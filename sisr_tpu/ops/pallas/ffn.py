@@ -147,8 +147,7 @@ def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
 
 def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
                       dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
-                      o_ref, xcur_ref, xprev_ref, hcur_ref, hprev_ref,
-                      edge_ref, *, th: int, nb: int):
+                      *refs, th: int, nb: int, stats: bool):
     """Lagged-pipeline variant: the row-band grid dim is sequential
     ("arbitrary"), so each band's fc1/gelu activations are computed ONCE and
     the depthwise conv's 2-row halos come from the neighbouring bands via
@@ -156,7 +155,21 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
     kernel pays (th+4)/th extra fc1+gelu), no XLA halo-stack builds, no halo
     DMA.  Step i computes band i's x/h, then emits band i-1's output from
     [h_{i-2} bottom 2 | h_{i-1} | h_i top 2]; the grid runs nb+1 steps with
-    the output block index lagged by one."""
+    the output block index lagged by one.
+
+    ``stats=True`` additionally emits, per band, the channel-mean/max maps
+    (flattened (1, 1, th*wd) f32 — th can be < 8 at strip widths, so a
+    (th, wd) block layout would break Mosaic's 8-aligned second-minor rule)
+    and (1, 1, C) spatial sum/max partials.  The NEXT block's SCA re-derives
+    all four of its global passes over this block's 13-133 MB output from
+    these small tensors instead of re-reading it from HBM (those reduces
+    cost ~0.65 ms/block of XLA reduce fusions at strip shapes, measured
+    r3)."""
+    if stats:
+        (o_ref, cmean_ref, cmax_ref, psum_ref, pmax_ref,
+         xcur_ref, xprev_ref, hcur_ref, hprev_ref, edge_ref) = refs
+    else:
+        (o_ref, xcur_ref, xprev_ref, hcur_ref, hprev_ref, edge_ref) = refs
     wd = o_ref.shape[2]
     c = o_ref.shape[3]
     ch = w1_ref.shape[1]
@@ -221,6 +234,17 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
         out = xprev_ref[...] + layer_norm(y.reshape(th, wd, c),
                                           ln2s_ref[0], ln2b_ref[0])
         o_ref[0] = out.astype(dt)
+        if stats:
+            # Mosaic requires 8-divisible second-minor block dims, so each
+            # band's vectors ride row-replicated (8, N) blocks (consumers
+            # read row 0); the replication write is ~0.5 MB/step, trivial
+            # next to the band's 2.8 MB output
+            of = out.astype(f32)
+            rep = lambda v: jnp.broadcast_to(v.reshape(1, -1), (8, v.size))
+            cmean_ref[0, 0] = rep(of.mean(-1))
+            cmax_ref[0, 0] = rep(of.max(-1))
+            psum_ref[0, 0] = rep(of.sum((0, 1)))
+            pmax_ref[0, 0] = rep(of.max((0, 1)))
 
     @pl.when(i > 0)
     def _edge_rotate():
@@ -234,7 +258,8 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
 
 
 def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
-                   ln2_s, ln2_b, interpret: bool = False):
+                   ln2_s, ln2_b, interpret: bool = False,
+                   stats: bool = False):
     b, h, wd, c = attn.shape
     ch = w1.shape[1]
     th = _pick_row_tile(h, wd, attn.dtype.itemsize)
@@ -242,12 +267,32 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
     nb = h // th
     dt = attn.dtype
 
-    kernel = functools.partial(_tail_pipe_kernel, th=th, nb=nb)
+    kernel = functools.partial(_tail_pipe_kernel, th=th, nb=nb, stats=stats)
     const = lambda bi, ri: (0, 0)
     body = pl.BlockSpec(
         (1, th, wd, c), lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0))
     out_spec = pl.BlockSpec(
         (1, th, wd, c), lambda bi, ri: (bi, jnp.maximum(ri - 1, 0), 0, 0))
+    lag = lambda bi, ri: (bi, jnp.maximum(ri - 1, 0), 0, 0)
+    out_shapes = jax.ShapeDtypeStruct((b, h, wd, c), dt)
+    out_specs = out_spec
+    if stats:
+        assert (th * wd) % 128 == 0, (th, wd)  # minor block dim rule
+        f32 = jnp.float32
+        out_shapes = (
+            out_shapes,
+            jax.ShapeDtypeStruct((b, nb, 8, th * wd), f32),  # ch-mean map
+            jax.ShapeDtypeStruct((b, nb, 8, th * wd), f32),  # ch-max map
+            jax.ShapeDtypeStruct((b, nb, 8, c), f32),        # sp-sum part
+            jax.ShapeDtypeStruct((b, nb, 8, c), f32),        # sp-max part
+        )
+        out_specs = (
+            out_spec,
+            pl.BlockSpec((1, 1, 8, th * wd), lag),
+            pl.BlockSpec((1, 1, 8, th * wd), lag),
+            pl.BlockSpec((1, 1, 8, c), lag),
+            pl.BlockSpec((1, 1, 8, c), lag),
+        )
     return pl.pallas_call(
         kernel,
         grid=(b, nb + 1),
@@ -264,8 +309,8 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
             pl.BlockSpec((1, c), const),
             pl.BlockSpec((1, c), const),
         ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, c), dt),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((th, wd, c), dt),      # x (current band)
             pltpu.VMEM((th, wd, c), dt),      # x (previous band)
@@ -396,3 +441,42 @@ htb_tail.defvjp(_htb_tail_fwd, _htb_tail_bwd)
 def supports_shape(h: int, w: int = 192) -> bool:
     """Whether the kernel's row banding divides this image height."""
     return _pick_row_tile(h, w) > 0
+
+
+def stats_reference(out):
+    """jnp reference of the folded SCA stats: (cmean (B,H,W), cmax (B,H,W),
+    ssum (B,C), smax (B,C)), all f32, computed from the HTB output ``out``
+    (= the next block's input x).  cmean/cmax feed the SCA 3x3-conv patch
+    build (reference models/hit_sir_pro.py:337-344 channel pools); ssum/smax
+    feed the squeeze-excite global pools (:346-353)."""
+    of = out.astype(jnp.float32)
+    return (of.mean(-1), of.max(-1),
+            of.sum((1, 2)), of.max((1, 2)))
+
+
+def htb_tail_stats(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                   ln2_s, ln2_b, use_pallas: bool, interpret: bool = False):
+    """Fused HTB tail that also emits the NEXT block's SCA input statistics
+    (see ``stats_reference``) from VMEM, so XLA never re-reads this block's
+    output from HBM for the 4 global passes.  Eval-only (no custom_vjp);
+    training takes the plain ``htb_tail`` path.
+
+    Returns (out, (cmean, cmax, ssum, smax))."""
+    b, h, wd, c = attn.shape
+    th = _pick_row_tile(h, wd, attn.dtype.itemsize)
+    if (use_pallas or interpret) and th and (th * wd) % 128 == 0:
+        res = _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
+                             w2, b2, ln2_s, ln2_b, interpret=interpret,
+                             stats=True)
+        out, cmean, cmax, psum, pmax = res
+        cmean = cmean[:, :, 0, :].reshape(b, h, wd)
+        cmax = cmax[:, :, 0, :].reshape(b, h, wd)
+        return out, (cmean, cmax,
+                     psum[:, :, 0, :].sum(axis=1), pmax[:, :, 0, :].max(axis=1))
+    if use_pallas:
+        out = htb_tail(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
+                       ln2_s, ln2_b, True)
+    else:
+        out = htb_tail_reference(attn, shortcut, ln1_s, ln1_b, w1, b1, dw,
+                                 dwb, w2, b2, ln2_s, ln2_b)
+    return out, stats_reference(out)

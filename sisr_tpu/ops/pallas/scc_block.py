@@ -57,12 +57,18 @@ def _conv_patches(m: jnp.ndarray) -> jnp.ndarray:
                       for i in range(3) for j in range(3)], axis=-1)
 
 
-def sca_reference(x, w9a, b9a, w9m, b9m, s1, s2):
+def sca_reference(x, w9a, b9a, w9m, b9m, s1, s2, cmean=None, cmax=None):
     """SpatialChannelAttention (reference :317-359) with precomputed
-    squeeze-excite vectors.  x: (B,H,W,C); w9*: (9, C); s1/s2: (B,1,1,C)."""
+    squeeze-excite vectors.  x: (B,H,W,C); w9*: (9, C); s1/s2: (B,1,1,C).
+
+    ``cmean``/``cmax`` ((B,H,W)) optionally carry the channel-pool maps
+    already computed by the previous block's fused tail kernel
+    (``ffn.htb_tail_stats``), saving two full passes over x."""
     dt = x.dtype
-    pa = _conv_patches(x.mean(axis=-1)).astype(dt)
-    pm = _conv_patches(x.max(axis=-1)).astype(dt)
+    pa = _conv_patches(x.mean(axis=-1) if cmean is None
+                       else cmean.astype(x.dtype)).astype(dt)
+    pm = _conv_patches(x.max(axis=-1) if cmax is None
+                       else cmax.astype(x.dtype)).astype(dt)
     ca = jax.nn.leaky_relu(pa @ w9a.astype(dt) + b9a.astype(dt), 0.2)
     cm = jax.nn.leaky_relu(pm @ w9m.astype(dt) + b9m.astype(dt), 0.2)
     return (ca * s1 + cm * s2) / 2.0 + x
@@ -331,9 +337,13 @@ def _scc_block_pallas(x, sca, w1, w2, bb, pmat, pb, mask, bias, proj_k,
     ins = [x]
     in_specs = [pl.BlockSpec(x_block, win_spec)]
     if with_sca:
-        w9a, b9a, w9m, b9m, s1, s2 = sca
+        w9a, b9a, w9m, b9m, s1, s2 = sca[:6]
+        cmean, cmax = sca[6:] if len(sca) > 6 else (None, None)
         patches = jnp.concatenate(
-            [_conv_patches(x.mean(axis=-1)), _conv_patches(x.max(axis=-1))],
+            [_conv_patches(x.mean(axis=-1) if cmean is None
+                           else cmean.astype(dt)),
+             _conv_patches(x.max(axis=-1) if cmax is None
+                           else cmax.astype(dt))],
             axis=-1).astype(dt)
         # s1/s2 ride as (b, 1, c) with (1, 1, c) blocks: a (1, c) block of a
         # (b, c) array is an invalid Mosaic tiling for b > 1 (second-minor

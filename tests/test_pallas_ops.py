@@ -348,6 +348,50 @@ def test_row_tile_picks_are_vmem_aware():
     assert c3.supports_shape(768, 7680, 64, 64)
 
 
+def test_htb_tail_pipe_stats_parity():
+    """stats=True pipe kernel: the 4 folded SCA pool outputs must match the
+    jnp reference pools of the kernel's own output (the lagged out_specs must
+    not skip or duplicate a band), and ``out`` must be unchanged."""
+    from sisr_tpu.ops.pallas.ffn import (_htb_tail_pipe, htb_tail_reference,
+                                         htb_tail_stats, stats_reference)
+
+    args = _tail_args(h=32, w=64, c=12, ch=24, b=2, seed=3)
+    ref = htb_tail_reference(*args)
+    out, cmean, cmax, psum, pmax = _htb_tail_pipe(*args, interpret=True,
+                                                  stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+    b, h, w, _ = ref.shape
+    got = (cmean[:, :, 0].reshape(b, h, w), cmax[:, :, 0].reshape(b, h, w),
+           psum[:, :, 0].sum(axis=1), pmax[:, :, 0].max(axis=1))
+    for g, r in zip(got, stats_reference(out)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+    # public entry reshapes/reduces the partials the same way
+    out2, stats2 = htb_tail_stats(*args, False, interpret=True)
+    for g, r in zip(stats2, stats_reference(out2)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_model_stats_threading_equivalent():
+    """HiTSIR eval with block-to-block SCA stats threading (the RHTB default)
+    == the unthreaded composition (forced via use_checkpoint, which disables
+    threading), f32 CPU."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+
+    rng = np.random.default_rng(1)
+    cfg = dict(embed_dim=20, depths=(2, 2), num_heads=(2, 2),
+               base_win_size=(4, 4), hier_win_ratios=(0.5, 1), upscale=4)
+    x = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    m = HiTSIR(**cfg)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y1 = m.apply(v, x, deterministic=True)
+    y2 = HiTSIR(**cfg, use_checkpoint=True).apply(v, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_ffn_pipe_kernel_rect_width_parity():
     """Pipe kernel at a non-square width (th chosen < h) vs the reference."""
     from sisr_tpu.ops.pallas.ffn import _htb_tail_pipe, htb_tail_reference
