@@ -76,6 +76,37 @@ def _use_conv_kernel(h: int, w: int = 192, cin: int = 180,
             and os.environ.get("SISR_FUSED_CONV", "1") == "1")
 
 
+def _use_shuffled_conv(hout: int, wout: int, feat: int) -> bool:
+    import os
+    from sisr_tpu.ops.pallas.conv3x3 import _pick_row_tile
+    th = _pick_row_tile(hout, wout, feat, feat)
+    return (jax.default_backend() == "tpu" and th > 0 and th % 2 == 0
+            and os.environ.get("SISR_FUSED_CONV", "1") == "1"
+            and os.environ.get("SISR_SHUF_CONV", "1") == "1")
+
+
+class ShuffledConv3x3(nn.Module):
+    """conv3x3 over the phase-major pixel shuffle of a packed 4F-channel
+    input, unpacked in VMEM (ops/pallas/conv3x3.py::conv3x3_shuffled);
+    params match nn.Conv on the shuffled (F-channel) input."""
+
+    features: int
+    act: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, yp: jnp.ndarray) -> jnp.ndarray:
+        from sisr_tpu.ops.pallas.conv3x3 import conv3x3_shuffled
+
+        cin = yp.shape[-1] // 4
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv3x3_shuffled(
+            yp, kernel.astype(self.dtype), bias.astype(self.dtype), self.act,
+            _use_shuffled_conv(2 * yp.shape[1], 2 * yp.shape[2], cin))
+
+
 class FusedConv3x3(nn.Module):
     """3x3 same-conv (+optional residual / leaky) routed through the Pallas
     band kernel on TPU (ops/pallas/conv3x3.py); params match nn.Conv."""
@@ -798,6 +829,7 @@ class NearestConvUp2(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     act: str = "none"
+    emit_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -817,10 +849,22 @@ class NearestConvUp2(nn.Module):
             return jnp.stack(new, axis=axis)
 
         phases = [fold(fold(kernel, a, 0), b, 1) for a in (0, 1) for b in (0, 1)]
+        from sisr_tpu.ops.pallas.conv3x3 import conv3x3
+        if self.emit_packed:
+            # COLUMN-phase-major channel order (see pixel_shuffle_phase_major
+            # for why j-major); the pixel shuffle is deferred to the consumer
+            # (conv3x3_shuffled)
+            k_full = jnp.stack([phases[2 * a + bb] for bb in (0, 1)
+                                for a in (0, 1)], axis=3).reshape(
+                3, 3, cin, self.features * 4)
+            b_full = jnp.tile(bias, 4)
+            return conv3x3(x.astype(self.dtype), None, k_full.astype(self.dtype),
+                           b_full.astype(self.dtype), self.act,
+                           _use_conv_kernel(x.shape[1], x.shape[2], cin,
+                                            self.features * 4))
         k_full = jnp.stack(phases, axis=-1).reshape(3, 3, cin, self.features * 4)
         b_full = jnp.repeat(bias, 4)
 
-        from sisr_tpu.ops.pallas.conv3x3 import conv3x3
         # self.act folds the caller's post-shuffle leaky-relu into the conv
         # (elementwise, so it commutes with pixel_shuffle)
         y = conv3x3(x.astype(self.dtype), None, k_full.astype(self.dtype),
@@ -946,8 +990,19 @@ class HiTSIR(nn.Module):
             y = FusedConv3x3(self.num_feat, "leaky", dt,
                              name="conv_before_upsample")(y)
             y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up1")(y)
-            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up2")(y)
-            hr = FusedConv3x3(self.num_feat, "leaky2", dt, name="conv_hr")(y)
+            # conv_up2 emits its output packed (phase-major, pre-shuffle) and
+            # conv_hr unpacks it in VMEM — the XLA pixel shuffle of the
+            # 4x-res map costs 7.4 ms/strip of transpose/layout copies
+            h2, w2 = y.shape[1], y.shape[2]
+            packed = _use_shuffled_conv(2 * h2, 2 * w2, self.num_feat)
+            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up2",
+                               emit_packed=packed)(y)
+            if packed:
+                hr = ShuffledConv3x3(self.num_feat, "leaky2", dt,
+                                     name="conv_hr")(y)
+            else:
+                hr = FusedConv3x3(self.num_feat, "leaky2", dt,
+                                  name="conv_hr")(y)
             y = FusedConv3x3(cin, "none", dt, name="conv_last")(hr)
         else:
             # denoise / artifact-removal head (reference :1260-1262, :1335-1340)

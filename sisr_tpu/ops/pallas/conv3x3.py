@@ -41,21 +41,77 @@ def conv3x3_reference(y, res, kernel, bias, act: str = "none"):
     return out
 
 
-def _conv_kernel(*refs, th: int, with_res: bool, act: str):
+def _out_group(cout: int, w: int, cin: int = 64) -> int:
+    """Output-pixel group size for tiny-Cout convs (see ``_conv_kernel``).
+    conv_last's Cout=3 fills 3 of the MXU pass's 128 N lanes; grouping 8
+    adjacent output pixels into lanes runs the same conv in ~40% the MXU
+    passes (K = 3 x 12px x Cin over M/8 tokens vs 9 x Cin over M).
+    Mosaic only supports column->lane merges from >=128-lane sources, so
+    the kernel works on a host-side (W/2, 2*Cin) pixel-pair view — which
+    needs 2*Cin to be a 128 multiple and even W.
+
+    DEFAULT OFF (SISR_CONV_GROUP=1 to enable): measured a net LOSS on v5e
+    — +2.7 ms/tile at 192-square and catastrophic at strip widths (the
+    in-kernel 128->512 merge relayouts dwarf the saved MXU passes;
+    whole-frame bench 1.95 s -> 3.12 s, r3)."""
+    import os
+    if (cout <= 16 and w % 16 == 0 and (2 * cin) % 128 == 0
+            and os.environ.get("SISR_CONV_GROUP", "0") == "1"):
+        return 8
+    return 1
+
+
+def _conv_kernel(*refs, th: int, with_res: bool, act: str, grp: int,
+                 cout: int):
     if with_res:
         y_ref, hal_ref, res_ref, k_ref, b_ref, o_ref = refs
     else:
         y_ref, hal_ref, k_ref, b_ref, o_ref = refs
-    wd = o_ref.shape[2]
-    cin = y_ref.shape[3]
     f32 = jnp.float32
     dt = o_ref.dtype
 
     a = jnp.concatenate([hal_ref[0, 0, 0:1], y_ref[0], hal_ref[0, 0, 1:2]],
-                        axis=0)                      # (th+2, W, Cin)
-    ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
+                        axis=0)
+    if grp > 1:
+        # grouped mode: refs carry the pixel-pair view (th, W/2, 2*Cin) and
+        # the out array is group-packed (W/g, g*Cout); pad by 1 merged col
+        # left (pixels -2,-1) and 3 right — the outermost pixels of each
+        # group's 12-px K window are zero-weighted
+        wd = o_ref.shape[2] * grp
+        cin = y_ref.shape[3] // 2
+        apm = jnp.pad(a, ((0, 0), (1, 3), (0, 0)))   # (th+2, W/2+4, 2Cin)
+    else:
+        wd = o_ref.shape[2]
+        cin = y_ref.shape[3]
+        ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))    # (th+2, W+2, Cin)
 
     def band(lo: int, cw: int):
+        if grp > 1:
+            # tiny-Cout convs (conv_last: Cout=3) waste the MXU pass on the
+            # N dim (3 of 128 lanes); group 8 adjacent output pixels into
+            # lanes: each group's taps span 10 pixels, covered by two
+            # even-aligned merged segments of 8+4 pixels (12-px K window,
+            # ends zero-weighted).  Merges run at >=128 lanes (Mosaic
+            # supports no narrower column->lane casts).
+            g = grp
+            lm = lo // 2
+            ng = cw // g
+            t0 = apm[:, lm:lm + cw // 2, :].reshape(th + 2, ng, g * cin)
+            t1 = (apm[:, lm + g // 2:lm + g // 2 + cw // 2, :]
+                  .reshape(th + 2, ng, g * cin)[:, :, :4 * cin])
+            imc = jnp.concatenate([t0, t1], axis=-1)  # 12 px * Cin lanes
+            im = jnp.concatenate([imc[i:i + th] for i in range(3)],
+                                 axis=-1).reshape(th * ng, -1)
+            acc = (jnp.dot(im, k_ref[...], preferred_element_type=f32)
+                   + b_ref[0].astype(f32))
+            if act == "leaky":
+                acc = jax.nn.leaky_relu(acc, 0.01)
+            elif act == "leaky2":
+                acc = jax.nn.leaky_relu(acc, 0.2)
+            # (th, cw/g, g*cout): lane->column split back to pixels happens
+            # on the host (the out array stays group-packed)
+            return acc.reshape(th, ng, g * cout)
+
         cols = [ap[:, lo + j:lo + j + cw, :] for j in range(3)]  # col shifts
         taps = [cols[j][i:i + th].reshape(th * cw, cin)
                 for i in range(3) for j in range(3)]
@@ -120,17 +176,25 @@ def _conv3x3_pallas(y, res, kernel, bias, act: str, interpret: bool = False):
     nb = h // th
     dt = y.dtype
 
+    grp = _out_group(cout, wd, cin)
+    with_res = res is not None
+    assert not (grp > 1 and with_res)
+    kern = functools.partial(_conv_kernel, th=th, with_res=with_res, act=act,
+                             grp=grp, cout=cout)
+    if grp > 1:
+        # pixel-pair view (free reshape): Mosaic can't column->lane-merge
+        # from sub-128-lane sources, so the kernel gets (W/2, 2*Cin)
+        y = y.reshape(b, h, wd // 2, 2 * cin)
     yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)))
     halo = jnp.stack([jnp.stack([yp[:, r * th], yp[:, r * th + th + 1]],
                                 axis=1) for r in range(nb)], axis=1)
-    # halo: (B, nb, 2, W, Cin) — row above and below each band
+    # halo: (B, nb, 2, W(/2), Cin(*2)) — row above and below each band
 
-    kernel9 = kernel.reshape(9, cin, cout).astype(dt)
-    with_res = res is not None
-    kern = functools.partial(_conv_kernel, th=th, with_res=with_res, act=act)
-    body = pl.BlockSpec((1, th, wd, cin), lambda bi, ri: (bi, ri, 0, 0))
-    obody = pl.BlockSpec((1, th, wd, cout), lambda bi, ri: (bi, ri, 0, 0))
-    hspec = pl.BlockSpec((1, 1, 2, wd, cin), lambda bi, ri: (bi, ri, 0, 0, 0))
+    wdk, cink = y.shape[2], y.shape[3]
+    body = pl.BlockSpec((1, th, wdk, cink), lambda bi, ri: (bi, ri, 0, 0))
+    wdo, couto = (wd // grp, grp * cout) if grp > 1 else (wd, cout)
+    obody = pl.BlockSpec((1, th, wdo, couto), lambda bi, ri: (bi, ri, 0, 0))
+    hspec = pl.BlockSpec((1, 1, 2, wdk, cink), lambda bi, ri: (bi, ri, 0, 0, 0))
     const = lambda bi, ri: (0, 0, 0)
 
     ins = [y, halo]
@@ -138,21 +202,40 @@ def _conv3x3_pallas(y, res, kernel, bias, act: str, interpret: bool = False):
     if with_res:
         ins.append(res)
         specs.append(obody)
-    ins += [kernel9, bias.reshape(1, cout).astype(dt)]
-    specs += [pl.BlockSpec((9, cin, cout), const),
-              pl.BlockSpec((1, cout), lambda bi, ri: (0, 0))]
+    if grp > 1:
+        # grouped weights (3*12*cin, g*cout): K = (row i, window pixel m,
+        # fin) where pixel m covers group pixels [-2, 10); output pixel u's
+        # tap t sits at m = u + t + 1 (m = 0 and m = 11 always zero)
+        k3 = kernel.astype(dt)                      # (3, 3, cin, cout)
+        wg = jnp.zeros((3, 12, cin, grp, cout), dt)
+        for u in range(grp):
+            for t in range(3):
+                wg = wg.at[:, u + t + 1, :, u, :].set(k3[:, t])
+        ins += [wg.reshape(3 * 12 * cin, grp * cout),
+                jnp.tile(bias.astype(dt), grp).reshape(1, grp * cout)]
+        specs += [pl.BlockSpec((3 * 12 * cin, grp * cout),
+                               lambda bi, ri: (0, 0)),
+                  pl.BlockSpec((1, grp * cout), lambda bi, ri: (0, 0))]
+    else:
+        ins += [kernel.reshape(9, cin, cout).astype(dt),
+                bias.reshape(1, cout).astype(dt)]
+        specs += [pl.BlockSpec((9, cin, cout), const),
+                  pl.BlockSpec((1, cout), lambda bi, ri: (0, 0))]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(b, nb),
         in_specs=specs,
         out_specs=obody,
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdo, couto), dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
+    if grp > 1:
+        out = out.reshape(b, h, wd, cout)           # unpack pixel groups
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -186,3 +269,122 @@ conv3x3.defvjp(_fwd, _bwd)
 def supports_shape(h: int, w: int = 192, cin: int = 180,
                    cout: int = 180) -> bool:
     return _pick_row_tile(h, w, cin, cout) > 0
+
+
+# ---------------------------------------------------------------------------
+# Shuffled-input conv: conv3x3(pixel_shuffle_phase_major(y, 2)) without ever
+# materializing the 2x-upsampled array in HBM.  The XLA pixel shuffle of the
+# x4 head costs 7.4 ms/strip of transpose + layout copies (755 MB round trip
+# measured r3); here the 2x2 interleave happens in VMEM per row band.
+# ---------------------------------------------------------------------------
+
+def conv3x3_shuffled_reference(yp, kernel, bias, act: str = "none"):
+    from sisr_tpu.ops.pixel_shuffle import pixel_shuffle_phase_major
+    return conv3x3_reference(pixel_shuffle_phase_major(yp, 2), None,
+                             kernel, bias, act)
+
+
+def _shuffled_conv_kernel(y_ref, hal_ref, k_ref, b_ref, o_ref, *, th: int,
+                          act: str):
+    """y_ref (1, th/2, W2, 4C) packed body; hal_ref (1, 1, 2, W2, 4C) the
+    packed row above/below; o_ref (1, th, 2*W2, Cout).  Channels phase-major
+    (128-aligned slices at C=64 bf16)."""
+    w2 = y_ref.shape[2]
+    c4 = y_ref.shape[3]
+    cin = c4 // 4
+    f32 = jnp.float32
+    dt = o_ref.dtype
+
+    slab = jnp.concatenate([hal_ref[0, 0, 0:1], y_ref[0], hal_ref[0, 0, 1:2]],
+                           axis=0)                   # (th/2+2, W2, 4C)
+    rows = slab.shape[0]
+
+    # channels are column-phase-major (j*2 + i): interleave columns at the
+    # 2C=128-lane width (the direct (W, 2C) -> (2W, C) cast is unsupported
+    # Mosaic-side), then split row phases with aligned C-lane slices
+    X = slab.reshape(rows, 2 * w2, 2 * cin)
+    u = jnp.stack([X[:, :, :cin], X[:, :, cin:]],
+                  axis=1).reshape(2 * rows, 2 * w2, cin)
+    u = u[1:2 * rows - 1]                            # rows r0-1 .. r0+th+1
+    up = jnp.pad(u, ((0, 0), (1, 1), (0, 0)))
+    wd = 2 * w2
+
+    def band(lo: int, cw: int):
+        cols = [up[:, lo + j:lo + j + cw, :] for j in range(3)]
+        taps = [cols[j][i:i + th].reshape(th * cw, cin)
+                for i in range(3) for j in range(3)]
+        im = jnp.concatenate(taps, axis=-1)
+        acc = (jnp.dot(im, k_ref[...].reshape(9 * cin, -1),
+                       preferred_element_type=f32) + b_ref[0].astype(f32))
+        if act == "leaky":
+            acc = jax.nn.leaky_relu(acc, 0.01)
+        elif act == "leaky2":
+            acc = jax.nn.leaky_relu(acc, 0.2)
+        return acc.reshape(th, cw, -1)
+
+    if wd <= 512:
+        out = band(0, wd)
+    else:
+        out = jnp.concatenate([band(lo, min(512, wd - lo))
+                               for lo in range(0, wd, 512)], axis=1)
+    o_ref[0] = out.astype(dt)
+
+
+def _conv3x3_shuffled_pallas(yp, kernel, bias, act: str,
+                             interpret: bool = False):
+    b, h2, w2, c4 = yp.shape
+    cin = c4 // 4
+    cout = kernel.shape[-1]
+    hout, wout = 2 * h2, 2 * w2
+    th = _pick_row_tile(hout, wout, cin, cout)
+    assert th and th % 2 == 0, (hout, wout, th)
+    thp = th // 2
+    nb = hout // th
+    dt = yp.dtype
+
+    ypad = jnp.pad(yp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    halo = jnp.stack([jnp.stack([ypad[:, r * thp], ypad[:, r * thp + thp + 1]],
+                                axis=1) for r in range(nb)], axis=1)
+
+    kern = functools.partial(_shuffled_conv_kernel, th=th, act=act)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, thp, w2, c4), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, 1, 2, w2, c4), lambda bi, ri: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((9, cin, cout), lambda bi, ri: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, ri: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wout, cout),
+                               lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hout, wout, cout), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yp, halo, kernel.reshape(9, cin, cout).astype(dt),
+      bias.reshape(1, cout).astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_shuffled(yp, kernel, bias, act: str, use_pallas: bool):
+    """conv3x3 over the phase-major pixel shuffle of ``yp`` (factor 2).
+    ``use_pallas=False`` runs the XLA composition (CPU, backward)."""
+    if use_pallas:
+        return _conv3x3_shuffled_pallas(yp, kernel, bias, act)
+    return conv3x3_shuffled_reference(yp, kernel, bias, act)
+
+
+def _sfwd(yp, kernel, bias, act, use_pallas):
+    return conv3x3_shuffled(yp, kernel, bias, act, use_pallas), (yp, kernel, bias)
+
+
+def _sbwd(act, use_pallas, saved, dy):
+    yp, kernel, bias = saved
+    _, vjp = jax.vjp(lambda a, k, b: conv3x3_shuffled_reference(a, k, b, act),
+                     yp, kernel, bias)
+    return vjp(dy)
+
+
+conv3x3_shuffled.defvjp(_sfwd, _sbwd)

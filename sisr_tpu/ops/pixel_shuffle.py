@@ -20,6 +20,21 @@ def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.reshape(b, h * factor, w * factor, c)
 
 
+def pixel_shuffle_phase_major(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B, H, W, r^2*C) -> (B, H*r, W*r, C) with COLUMN-phase-major channels
+    (channel = (j*r + i)*C + c for spatial offset (i, j)).  Internal layout
+    of the packed upsample head (``NearestConvUp2(emit_packed=True)``):
+    j-major lets the shuffled-input conv kernel interleave columns at
+    2C=128 lanes (a supported Mosaic shape cast at C=64 bf16) and then
+    split rows with aligned 64-lane slices — the direct (.., W, 2C) ->
+    (.., 2W, C) cast is unsupported."""
+    b, h, w, rrc = x.shape
+    c = rrc // (factor * factor)
+    x = x.reshape(b, h, w, factor, factor, c)  # b, h, w, r_j, r_i, c
+    x = x.transpose(0, 1, 4, 2, 3, 5)          # b, h, r_i, w, r_j, c
+    return x.reshape(b, h * factor, w * factor, c)
+
+
 def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """(B, H*r, W*r, C) -> (B, H, W, C*r^2), inverse of pixel_shuffle."""
     b, hr, wr, c = x.shape

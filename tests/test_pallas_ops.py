@@ -50,7 +50,10 @@ def _scc_block_args(win=8, base=8, heads=2, c=20, nw=2, b=1, with_sca=True,
     (8, 8, 2, 20, True), (8, 8, 2, 20, False), (16, 8, 2, 24, True),
     (32, 8, 1, 16, True),
     # windows <= base: the row-band kernel (degenerate pooling, batched)
-    (4, 8, 2, 20, True), (4, 8, 2, 20, False)])
+    (4, 8, 2, 20, True), (4, 8, 2, 20, False),
+    # L < C/2: the small-L out_c reassociation ((v k^T) q — q/k orientation
+    # matters; the flagship hits this at w=4 (L=16) and w=8 (L=64) vs half=90)
+    (4, 8, 2, 40, True), (8, 8, 2, 136, False)])
 def test_scc_block_kernel_matches_reference(win, base, heads, c, with_sca,
                                             mode, monkeypatch):
     from sisr_tpu.ops.pallas.scc_block import (_scc_block_pallas,
@@ -346,6 +349,46 @@ def test_row_tile_picks_are_vmem_aware():
     assert c3._pick_row_tile(192, 1920, 180, 180) == 4
     assert c3._pick_row_tile(768, 7680, 64, 64) == 4
     assert c3.supports_shape(768, 7680, 64, 64)
+
+
+def test_conv3x3_shuffled_parity():
+    """Shuffled-input conv kernel (packed phase-major 4F channels, 2x2
+    interleave in VMEM) == conv3x3 of the materialized pixel shuffle."""
+    from sisr_tpu.ops.pallas.conv3x3 import (_conv3x3_shuffled_pallas,
+                                             conv3x3_shuffled_reference)
+
+    rng = np.random.default_rng(5)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    for (h2, w2, f) in [(8, 16, 8), (16, 32, 12), (4, 300, 8)]:
+        yp, k, b = mk(1, h2, w2, 4 * f), mk(3, 3, f, f), mk(f)
+        ref = conv3x3_shuffled_reference(yp, k, b, "leaky2")
+        got = _conv3x3_shuffled_pallas(yp, k, b, "leaky2", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_conv3x3_grouped_cout_parity(monkeypatch):
+    """Tiny-Cout convs (conv_last) can take the output-pixel-grouped matmul
+    path (8 px x Cout lanes per token; SISR_CONV_GROUP=1, default-off after
+    measuring a net loss on v5e); parity incl. the right-edge over-read
+    padding, multi-chunk widths, and a non-grouped control."""
+    from sisr_tpu.ops.pallas.conv3x3 import (_conv3x3_pallas, _out_group,
+                                             conv3x3_reference)
+
+    assert _out_group(3, 7680) == 1           # default off
+    monkeypatch.setenv("SISR_CONV_GROUP", "1")
+    assert _out_group(3, 7680) == 8
+    assert _out_group(64, 7680) == 1
+    rng = np.random.default_rng(7)
+    for (h, w, cin, cout) in [(16, 64, 64, 3), (8, 1024, 64, 3),
+                              (8, 48, 20, 3), (8, 64, 64, 12)]:
+        y = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32) * 0.1)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        ref = conv3x3_reference(y, None, k, b, "leaky2")
+        got = _conv3x3_pallas(y, None, k, b, "leaky2", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
 
 
 def test_htb_tail_pipe_stats_parity():
