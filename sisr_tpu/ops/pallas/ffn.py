@@ -215,16 +215,18 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
                       for r in range(K)) for j in range(K)]
             return sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
 
-        # wide strip bands chunk the tap build over 512-column blocks: the
+        # wide strip bands chunk the tap build over column blocks: the
         # full-width form holds ~9 (th, W, Ch) f32 partials live, which at
-        # W=1920 spills ~45 MB past physical VMEM
-        if wd <= 512:
+        # W=1920 spills ~45 MB past physical VMEM.  SISR_FFN_CHUNK tunes the
+        # chunk width (512 default; th=8 at W=1920 needs 256 to fit).
+        chunk = int(os.environ.get("SISR_FFN_CHUNK", "512"))
+        if wd <= chunk:
             dwout = (taps(0, wd) + dwb).astype(dt)
             h2 = hprev_ref[...] + _gelu_kernel(dwout)
         else:
             parts = []
-            for lo in range(0, wd, 512):
-                cw = min(512, wd - lo)
+            for lo in range(0, wd, chunk):
+                cw = min(chunk, wd - lo)
                 dw_c = (taps(lo, cw) + dwb).astype(dt)
                 parts.append(hprev_ref[:, lo:lo + cw, :]
                              + _gelu_kernel(dw_c))

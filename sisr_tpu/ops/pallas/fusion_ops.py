@@ -117,8 +117,10 @@ def _pick_row_tile(h: int, wd: int = 192) -> int:
     compiles at equal token counts (15360 = 8x1920, measured v5e matrix:
     960/8 OK, 768/16 OK, 640/16 OK, 960/16 FAIL, 1024/16 FAIL).  Caps per
     th stay inside the proven region; 192-wide tiles keep th=16, >=960
-    strips pick th=8."""
-    for th, max_wd in ((16, 768), (8, 1920)):
+    strips pick th=8.  th=8 verified through W=2176 on hardware (r3 probe:
+    compile + parity at 2048 and 2176 — covers DIV2K whole-image widths
+    after the 64-multiple eval bucketing)."""
+    for th, max_wd in ((16, 768), (8, 2176)):
         if h % th == 0 and wd <= max_wd:
             return th
     return 0
@@ -180,12 +182,12 @@ fusion_pools.defvjp(_fwd, _bwd)
 
 
 def supports_shape(h: int, w: int | None = None) -> bool:
-    """Fused-Fusion eligibility: row-tileable for both the pools and gate
-    kernels and, for the single-invocation maps kernel (full-image f32
-    slabs in VMEM), a bounded area."""
+    """Fused-Fusion eligibility: row-tileable for the pools, maps and gate
+    kernels (all three band over rows since r3 — the old single-invocation
+    maps kernel capped the area at 640k px of full-image VMEM slabs; now
+    only the width is capped by the proven pools-tile region)."""
     w = h if w is None else w
-    return (_pick_row_tile(h, w) > 0 and _pick_pools_tile(h, w) > 0
-            and h * w <= 640_000)
+    return _pick_row_tile(h, w) > 0 and _pick_pools_tile(h, w) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -251,63 +253,81 @@ def _swap_ab(t: int) -> int:
     return ch * 9 + b * 3 + a
 
 
-def _maps_kernel(cp_ref, hp_ref, wp_ref, c1w_ref, c2w_ref, c3w_ref,
+def _maps_kernel(cp_ref, cph_ref, hp_ref, wp_ref, c1w_ref, c2w_ref, c3w_ref,
                  cb_ref, khw_ref, clb_ref,
-                 catt_ref, hout_ref, wout_ref, hcorr_ref, wcorr_ref):
-    """Per-batch-item UA map builder.  cp (1,6,H,W); hp (1,6,W,C) f32;
-    wp (1,6,H,C); c*w (3,18) f32 tap weights [ch*9+a*3+b]; cb (9,) f32 SMEM
-    biases [c1b0,c2b0,c3b0,c1b1,...]; khw (3,18,C,C) folded conv_last kernels
-    [KH_j | K0_j | K2_j | KW_i | Ki0 | Ki2]; clb (3,C) conv_last biases."""
+                 catt_ref, hout_ref, wout_ref, hcorr_ref, wcorr_ref, *,
+                 th: int):
+    """UA map builder, banded over row bands (grid (B, H/th)) so the (H, W)
+    conv1 work never holds full-image slabs — the single-invocation form
+    capped the fused path at ~640k px of VMEM.  cp (1,6,th,W) band;
+    cph (1,1,6,2,W) the row above/below the band (zeros at image borders);
+    hp (1,6,W,C) f32 / wp (1,6,H,C) full const blocks; c*w (3,18) f32 SMEM
+    tap weights [ch*9+a*3+b]; cb (9,) f32 SMEM biases [c1b0,c2b0,c3b0,...];
+    khw (3,18,C,C) folded conv_last kernels [KH_j | K0_j | K2_j | KW_i |
+    Ki0 | Ki2]; clb (3,C) conv_last biases.  catt is written per band; the
+    (W,C)/(H,C) maps are computed once at band 0 (their blocks stay
+    resident across the sequential band dim)."""
     f32 = jnp.float32
-    big_h = cp_ref.shape[2]
+    big_h = wp_ref.shape[2]
     wd = cp_ref.shape[3]
-    c = hp_ref.shape[3]
+    ri = pl.program_id(1)
 
-    def conv2d18(m0, m1, w, bias):
+    def conv2d18(m0, m1, w, bias, haloed=False):
         """3x3 2-in-1-out conv; m0/m1 (rows, cols) slabs, w(t) an SMEM scalar
-        accessor with taps [ch*9 + a*3 + b]; returns (rows, cols) f32."""
+        accessor with taps [ch*9 + a*3 + b]; returns (rows(-2), cols) f32.
+        ``haloed``: the row halo is already present (no zero row padding)."""
         r, cc = m0.shape
-        p0 = jnp.pad(m0, ((1, 1), (1, 1)))
-        p1 = jnp.pad(m1, ((1, 1), (1, 1)))
-        acc = sum(p0[i:i + r, j:j + cc] * w(i * 3 + j) for i in range(3)
+        rp = ((0, 0), (1, 1)) if haloed else ((1, 1), (1, 1))
+        p0 = jnp.pad(m0, rp)
+        p1 = jnp.pad(m1, rp)
+        n = r - 2 if haloed else r
+        acc = sum(p0[i:i + n, j:j + cc] * w(i * 3 + j) for i in range(3)
                   for j in range(3))
-        acc = acc + sum(p1[i:i + r, j:j + cc] * w(9 + i * 3 + j)
+        acc = acc + sum(p1[i:i + n, j:j + cc] * w(9 + i * 3 + j)
                         for i in range(3) for j in range(3))
         return acc + bias
 
     for k in range(3):
-        # conv1 on the channel pools: (H, W) grid
+        # conv1 on the channel pools: (th, W) band with a 1-row halo
+        m0 = jnp.concatenate([cph_ref[0, 0, 2 * k, 0:1], cp_ref[0, 2 * k],
+                              cph_ref[0, 0, 2 * k, 1:2]], axis=0)
+        m1 = jnp.concatenate([cph_ref[0, 0, 2 * k + 1, 0:1],
+                              cp_ref[0, 2 * k + 1],
+                              cph_ref[0, 0, 2 * k + 1, 1:2]], axis=0)
         catt_ref[0, k] = conv2d18(
-            cp_ref[0, 2 * k].astype(f32), cp_ref[0, 2 * k + 1].astype(f32),
-            lambda t, k=k: c1w_ref[k, t], cb_ref[3 * k])
+            m0.astype(f32), m1.astype(f32),
+            lambda t, k=k: c1w_ref[k, t], cb_ref[3 * k], haloed=True)
 
-        # conv2/conv3 run on grid (C, W)/(C, H) but the slabs are (W, C) /
-        # (H, C): the conv's 'row' tap a shifts the lane (C) axis and 'col'
-        # tap b the sublane axis — swap the shift roles accordingly:
-        # out[w, c] = sum slab[w+b-1, c+a-1, ch] * w[ch, a, b]
-        h_att = conv2d18(hp_ref[0, 2 * k], hp_ref[0, 2 * k + 1],
-                         lambda t, k=k: c2w_ref[k, _swap_ab(t)],
-                         cb_ref[3 * k + 1])                  # (W, C)
-        w_att = conv2d18(wp_ref[0, 2 * k].astype(f32),
-                         wp_ref[0, 2 * k + 1].astype(f32),
-                         lambda t, k=k: c3w_ref[k, _swap_ab(t)],
-                         cb_ref[3 * k + 2])                  # (H, C)
+    @pl.when(ri == 0)
+    def _small_maps():
+        for k in range(3):
+            # conv2/conv3 run on grid (C, W)/(C, H) but the slabs are (W, C)
+            # / (H, C): the conv's 'row' tap a shifts the lane (C) axis and
+            # 'col' tap b the sublane axis — swap the shift roles:
+            # out[w, c] = sum slab[w+b-1, c+a-1, ch] * w[ch, a, b]
+            h_att = conv2d18(hp_ref[0, 2 * k], hp_ref[0, 2 * k + 1],
+                             lambda t, k=k: c2w_ref[k, _swap_ab(t)],
+                             cb_ref[3 * k + 1])              # (W, C)
+            w_att = conv2d18(wp_ref[0, 2 * k].astype(f32),
+                             wp_ref[0, 2 * k + 1].astype(f32),
+                             lambda t, k=k: c3w_ref[k, _swap_ab(t)],
+                             cb_ref[3 * k + 2])              # (H, C)
 
-        # folded conv_last: 1-D convs along W / H with summed kernel rows
-        hpad = jnp.pad(h_att, ((1, 1), (0, 0)))
-        wpad = jnp.pad(w_att, ((1, 1), (0, 0)))
+            # folded conv_last: 1-D convs along W / H with summed kernel rows
+            hpad = jnp.pad(h_att, ((1, 1), (0, 0)))
+            wpad = jnp.pad(w_att, ((1, 1), (0, 0)))
 
-        def shift3(pad, n, base):
-            return [jnp.dot(pad[j:j + n], khw_ref[k, base + j].astype(f32),
-                            preferred_element_type=f32) for j in range(3)]
+            def shift3(pad, n, base, k=k):
+                return [jnp.dot(pad[j:j + n], khw_ref[k, base + j].astype(f32),
+                                preferred_element_type=f32) for j in range(3)]
 
-        hout_ref[0, k] = (sum(shift3(hpad, wd, 0))
-                          + clb_ref[k].astype(f32))          # + conv_last bias
-        hcorr_ref[0, 0, k] = sum(shift3(hpad, wd, 3))        # missing at h=0
-        hcorr_ref[0, 1, k] = sum(shift3(hpad, wd, 6))        # missing at h=H-1
-        wout_ref[0, k] = sum(shift3(wpad, big_h, 9))
-        wcorr_ref[0, 0, k] = sum(shift3(wpad, big_h, 12))    # missing at w=0
-        wcorr_ref[0, 1, k] = sum(shift3(wpad, big_h, 15))    # missing at w=W-1
+            hout_ref[0, k] = (sum(shift3(hpad, wd, 0))
+                              + clb_ref[k].astype(f32))      # + conv_last bias
+            hcorr_ref[0, 0, k] = sum(shift3(hpad, wd, 3))    # missing at h=0
+            hcorr_ref[0, 1, k] = sum(shift3(hpad, wd, 6))    # missing at h=H-1
+            wout_ref[0, k] = sum(shift3(wpad, big_h, 9))
+            wcorr_ref[0, 0, k] = sum(shift3(wpad, big_h, 12))  # missing at w=0
+            wcorr_ref[0, 1, k] = sum(shift3(wpad, big_h, 15))  # missing at w=W-1
 
 
 def _gate_kernel(a_ref, b_ref, p27_ref, k1_ref, hout_ref, wout_ref,
@@ -391,27 +411,34 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
     cp3, hp3, wp3 = _fusion_pallas_or_interp(a, b, interpret)
     c1w, c2w, c3w, cb, khw, clb, k1blk = _pack_params(raws, c, dt)
 
-    const2 = lambda bi: (0, 0)
+    # 1-row halo above/below each conv1 band (zeros at the image borders)
+    cpz = jnp.pad(cp3, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    cph = jnp.stack([jnp.stack([cpz[:, :, r * th], cpz[:, :, r * th + th + 1]],
+                               axis=2) for r in range(nb)], axis=1)
+    # cph: (B, nb, 6, 2, W)
+
+    const2 = lambda bi, ri: (0, 0)
     catt3, hout3, wout3, hcorr, wcorr = pl.pallas_call(
-        _maps_kernel,
-        grid=(bsz,),
+        functools.partial(_maps_kernel, th=th),
+        grid=(bsz, nb),
         in_specs=[
-            pl.BlockSpec((1, 6, h, wd), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, 6, wd, c), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, 6, h, c), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 6, th, wd), lambda bi, ri: (bi, 0, ri, 0)),
+            pl.BlockSpec((1, 1, 6, 2, wd), lambda bi, ri: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((1, 6, wd, c), lambda bi, ri: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 6, h, c), lambda bi, ri: (bi, 0, 0, 0)),
             pl.BlockSpec((3, 18), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 18), const2, memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 18), const2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((9,), lambda bi: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, 18, c, c), lambda bi: (0, 0, 0, 0)),
+            pl.BlockSpec((9,), lambda bi, ri: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 18, c, c), lambda bi, ri: (0, 0, 0, 0)),
             pl.BlockSpec((3, c), const2),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, h, wd), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, 3, wd, c), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, 3, h, c), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 3, wd, c), lambda bi: (bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 3, h, c), lambda bi: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, th, wd), lambda bi, ri: (bi, 0, ri, 0)),
+            pl.BlockSpec((1, 3, wd, c), lambda bi, ri: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 3, h, c), lambda bi, ri: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, wd, c), lambda bi, ri: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, h, c), lambda bi, ri: (bi, 0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, 3, h, wd), f32),
@@ -421,10 +448,10 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
             jax.ShapeDtypeStruct((bsz, 2, 3, h, c), f32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cp3, hp3, wp3, c1w, c2w, c3w, cb, khw, clb)
+    )(cp3, cph, hp3, wp3, c1w, c2w, c3w, cb, khw, clb)
 
     # 27-lane im2col of the three c_att maps (tap t = 9k + i*3 + j); kept
     # (th, wd)-shaped so the gate kernel's column chunks slice aligned

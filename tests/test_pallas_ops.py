@@ -473,7 +473,9 @@ def test_fused_fusion_rect_strip_shape():
     assert _pick_row_tile(192, 960) == 8
     assert _pick_row_tile(192, 768) == 16
     assert supports_shape(192, 1920)
-    assert not supports_shape(1152, 1920)  # beyond the maps-kernel area cap
+    assert supports_shape(1152, 1920)   # banded maps kernel: no area cap (r3)
+    assert supports_shape(192, 2048)    # hardware-probed through W=2176 (r3)
+    assert not supports_shape(192, 2304)  # beyond the proven pools-width cap
 
     rng = np.random.default_rng(9)
     c = 12

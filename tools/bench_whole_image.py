@@ -1,10 +1,10 @@
-"""Whole-image flagship forward beyond the fused-Fusion cap (VERDICT r2 #6).
+"""Whole-image flagship forward at large sizes (VERDICT r2 #6).
 
-At H*W > 640k px ``fusion_ops.supports_shape`` rejects the fused-Fusion
-path, so whole-image eval silently runs the mixed kernel/XLA configuration
-(SCC+FFN+conv kernels on, Fusion via the XLA reference composition) — the
-regime round 2 measured as toxic at tile scale.  This measures it: flagship
-whole-image forward at a given size vs the equivalent tiled run.
+Round 3 banded the fused-Fusion maps kernel, lifting the old 640k-px area
+cap: whole-image eval up to W=1920 now runs the full kernel set instead of
+silently dropping Fusion to the toxic mixed kernel/XLA configuration.
+This measures it: flagship whole-image forward at a given size vs the
+equivalent tiled run.
 
 Usage: python tools/bench_whole_image.py [H [W]]   (default 960x960)
 """
