@@ -76,10 +76,11 @@ def _use_conv_kernel(h: int, w: int = 192, cin: int = 180,
             and os.environ.get("SISR_FUSED_CONV", "1") == "1")
 
 
-def _use_shuffled_conv(hout: int, wout: int, feat: int) -> bool:
+def _use_shuffled_conv(hout: int, wout: int, cin: int,
+                       cout: int | None = None) -> bool:
     import os
     from sisr_tpu.ops.pallas.conv3x3 import _pick_row_tile
-    th = _pick_row_tile(hout, wout, feat, feat)
+    th = _pick_row_tile(hout, wout, cin, cout if cout is not None else cin)
     return (jax.default_backend() == "tpu" and th > 0 and th % 2 == 0
             and os.environ.get("SISR_FUSED_CONV", "1") == "1"
             and os.environ.get("SISR_SHUF_CONV", "1") == "1")
@@ -830,10 +831,11 @@ class NearestConvUp2(nn.Module):
     dtype: Dtype = jnp.float32
     act: str = "none"
     emit_packed: bool = False
+    consume_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.consume_packed else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -849,7 +851,7 @@ class NearestConvUp2(nn.Module):
             return jnp.stack(new, axis=axis)
 
         phases = [fold(fold(kernel, a, 0), b, 1) for a in (0, 1) for b in (0, 1)]
-        from sisr_tpu.ops.pallas.conv3x3 import conv3x3
+        from sisr_tpu.ops.pallas.conv3x3 import conv3x3, conv3x3_shuffled
         if self.emit_packed:
             # COLUMN-phase-major channel order (see pixel_shuffle_phase_major
             # for why j-major); the pixel shuffle is deferred to the consumer
@@ -858,10 +860,20 @@ class NearestConvUp2(nn.Module):
                                 for a in (0, 1)], axis=3).reshape(
                 3, 3, cin, self.features * 4)
             b_full = jnp.tile(bias, 4)
+            if self.consume_packed:
+                # packed in, packed out: interleave the packed input in VMEM
+                # (conv3x3_shuffled) and conv with the phase-folded kernel —
+                # the chained x4 head never materializes a pixel shuffle
+                return conv3x3_shuffled(
+                    x.astype(self.dtype), k_full.astype(self.dtype),
+                    b_full.astype(self.dtype), self.act,
+                    _use_shuffled_conv(2 * x.shape[1], 2 * x.shape[2], cin,
+                                       self.features * 4))
             return conv3x3(x.astype(self.dtype), None, k_full.astype(self.dtype),
                            b_full.astype(self.dtype), self.act,
                            _use_conv_kernel(x.shape[1], x.shape[2], cin,
                                             self.features * 4))
+        assert not self.consume_packed  # packed input implies packed output
         k_full = jnp.stack(phases, axis=-1).reshape(3, 3, cin, self.features * 4)
         b_full = jnp.repeat(bias, 4)
 
@@ -989,20 +1001,26 @@ class HiTSIR(nn.Module):
             y = fuse(deep, shallow)
             y = FusedConv3x3(self.num_feat, "leaky", dt,
                              name="conv_before_upsample")(y)
-            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up1")(y)
-            # conv_up2 emits its output packed (phase-major, pre-shuffle) and
-            # conv_hr unpacks it in VMEM — the XLA pixel shuffle of the
-            # 4x-res map costs 7.4 ms/strip of transpose/layout copies
-            h2, w2 = y.shape[1], y.shape[2]
-            packed = _use_shuffled_conv(2 * h2, 2 * w2, self.num_feat)
-            y = NearestConvUp2(self.num_feat, dt, "leaky2", name="conv_up2",
-                               emit_packed=packed)(y)
-            if packed:
-                hr = ShuffledConv3x3(self.num_feat, "leaky2", dt,
-                                     name="conv_hr")(y)
+            # Packed x4 head: conv_up1 emits phase-major packed channels,
+            # conv_up2 interleaves them in VMEM and emits packed again, and
+            # conv_hr unpacks in VMEM — no pixel shuffle of the 2x or 4x-res
+            # maps ever materializes (the XLA shuffles cost 7.4+1.8 ms/strip
+            # of transpose/layout copies, profiled r3)
+            h1, w1 = y.shape[1], y.shape[2]
+            nf = self.num_feat
+            packed_hr = _use_shuffled_conv(4 * h1, 4 * w1, nf)
+            packed_up = (packed_hr
+                         and _use_shuffled_conv(2 * h1, 2 * w1, nf, 4 * nf)
+                         and _use_conv_kernel(h1, w1, nf, 4 * nf))
+            y = NearestConvUp2(nf, dt, "leaky2", name="conv_up1",
+                               emit_packed=packed_up)(y)
+            y = NearestConvUp2(nf, dt, "leaky2", name="conv_up2",
+                               emit_packed=packed_hr,
+                               consume_packed=packed_up)(y)
+            if packed_hr:
+                hr = ShuffledConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
             else:
-                hr = FusedConv3x3(self.num_feat, "leaky2", dt,
-                                  name="conv_hr")(y)
+                hr = FusedConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
             y = FusedConv3x3(cin, "none", dt, name="conv_last")(hr)
         else:
             # denoise / artifact-removal head (reference :1260-1262, :1335-1340)
