@@ -32,9 +32,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from sisr_tpu.models.hit_sir_pro import HiTSIR, flagship_config
-    from sisr_tpu.parallel.tiling import TiledSR
+    from sisr_tpu.parallel.tiling import BandedHeadSR, TiledSR
 
     h, w = 1080, 1920
+    # "whole" = whole-image forward with the x4 head streamed over feature-row
+    # bands (the reference's eval protocol; no overlap redundancy, 1 launch);
+    # "tiled" = overlap-tiled strips
+    mode = os.environ.get("BENCH_MODE", "whole")
     # "192" (square) or "192x1920" (strip tiles: full-width strips need no
     # horizontal overlap — 1920 = 10*192 is already a window-ladder multiple)
     tile_env = os.environ.get("BENCH_TILE", "192x1920")
@@ -59,8 +63,14 @@ def main():
     # pre-cast params: saves re-reading 41 MB of f32 weights per tile
     variables = jax.tree.map(lambda p: p.astype(jnp.bfloat16), variables)
 
-    runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
-                     overlap=overlap, chunk=chunk, out_dtype=out_dt)
+    if mode == "whole":
+        band = int(os.environ.get("BENCH_BAND_ROWS", "120"))
+        align = int(os.environ.get("BENCH_ALIGN", "64"))
+        runner = BandedHeadSR(model, band_rows=band, out_dtype=out_dt,
+                              align=align)
+    else:
+        runner = TiledSR(lambda v, x: model.apply(v, x), scale=4, tile=tile,
+                         overlap=overlap, chunk=chunk, out_dtype=out_dt)
 
     img = jnp.asarray(np.random.default_rng(0).random((h, w, 3), dtype=np.float32))
     img = jax.device_put(img)
@@ -84,6 +94,7 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "latency_ms": round(latency * 1e3, 1),
+        "mode": mode,
         "tile": tile_env,
         "chunk": chunk,
         "overlap": overlap,

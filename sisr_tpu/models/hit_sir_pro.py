@@ -918,17 +918,72 @@ class HiTSIR(nn.Module):
             for r in self.hier_win_ratios
         )
 
+    def _x4_head(self, y: jnp.ndarray) -> jnp.ndarray:
+        """The 'nearest+conv' x4 reconstruction tail (conv_up1 → conv_last)
+        on a (B, h1, w1, num_feat) feature map.  Split out of ``__call__`` so
+        whole-image eval can stream it over feature-row bands (the 4x-res
+        activations of a 1080p frame alone are ~18 GB — parallel/tiling.py::
+        BandedHeadSR).  Called inside the compact ``__call__`` frame; module
+        names match the reference state dict (torch_port.py)."""
+        dt = self.dtype
+        nf = self.num_feat
+        h1, w1 = y.shape[1], y.shape[2]
+        # Packed x4 head: conv_up1 emits phase-major packed channels,
+        # conv_up2 interleaves them in VMEM and emits packed again, and
+        # conv_hr unpacks in VMEM — no pixel shuffle of the 2x or 4x-res
+        # maps ever materializes (the XLA shuffles cost 7.4+1.8 ms/strip
+        # of transpose/layout copies, profiled r3)
+        packed_hr = _use_shuffled_conv(4 * h1, 4 * w1, nf)
+        packed_up = (packed_hr
+                     and _use_shuffled_conv(2 * h1, 2 * w1, nf, 4 * nf)
+                     and _use_conv_kernel(h1, w1, nf, 4 * nf))
+        y = NearestConvUp2(nf, dt, "leaky2", name="conv_up1",
+                           emit_packed=packed_up)(y)
+        y = NearestConvUp2(nf, dt, "leaky2", name="conv_up2",
+                           emit_packed=packed_hr,
+                           consume_packed=packed_up)(y)
+        import os
+        if packed_hr and os.environ.get("SISR_FUSED_TAIL", "1") == "1":
+            # conv_hr + conv_last as ONE lagged-pipeline kernel: the 4x-res
+            # hr map (755 MB per 192x1920 strip) never round-trips HBM.
+            # Param tree matches the two-module path exactly (same names,
+            # same shapes, same init) — checkpoints are interchangeable.
+            from sisr_tpu.ops.pallas.conv3x3 import conv3x3_shuffled_tail
+            hrk, hrb = Conv2dParams(3, nf, nf, name="conv_hr")()
+            lk, lb = Conv2dParams(3, nf, self.in_chans, name="conv_last")()
+            return conv3x3_shuffled_tail(
+                y, hrk.astype(dt), hrb.astype(dt), "leaky2",
+                lk.astype(dt), lb.astype(dt), True)
+        if packed_hr:
+            hr = ShuffledConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
+        else:
+            hr = FusedConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
+        return FusedConv3x3(self.in_chans, "none", dt, name="conv_last")(hr)
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 stage: str = "full") -> jnp.ndarray:
+        """``stage`` (static) splits the forward for banded whole-image eval:
+        'full' is the normal end-to-end network; 'features' stops at the
+        pre-upsample feature map (nearest+conv head only); 'head' treats
+        ``x`` as that feature map and runs only the x4 tail + output denorm
+        (no crop — the caller owns halo cropping).  Params are identical
+        across stages (apply-time subsets of the same tree)."""
+        assert stage in ("full", "features", "head"), stage
         b, h, w, cin = x.shape
         c = self.embed_dim
         dt = self.dtype
         x = x.astype(dt)
 
-        if cin == 3:
+        if (self.in_chans if stage == "head" else cin) == 3:
             mean = jnp.asarray(IMAGENET_ISH_RGB_MEAN, dtype=dt)
         else:
             mean = jnp.zeros((1,), dtype=dt)
+
+        if stage != "full":
+            assert self.upsampler == "nearest+conv", self.upsampler
+        if stage == "head":
+            return self._x4_head(x) / self.img_range + mean
         x = (x - mean) * self.img_range
 
         # 1. shallow feature extraction (reference :1139-1145)
@@ -1001,27 +1056,9 @@ class HiTSIR(nn.Module):
             y = fuse(deep, shallow)
             y = FusedConv3x3(self.num_feat, "leaky", dt,
                              name="conv_before_upsample")(y)
-            # Packed x4 head: conv_up1 emits phase-major packed channels,
-            # conv_up2 interleaves them in VMEM and emits packed again, and
-            # conv_hr unpacks in VMEM — no pixel shuffle of the 2x or 4x-res
-            # maps ever materializes (the XLA shuffles cost 7.4+1.8 ms/strip
-            # of transpose/layout copies, profiled r3)
-            h1, w1 = y.shape[1], y.shape[2]
-            nf = self.num_feat
-            packed_hr = _use_shuffled_conv(4 * h1, 4 * w1, nf)
-            packed_up = (packed_hr
-                         and _use_shuffled_conv(2 * h1, 2 * w1, nf, 4 * nf)
-                         and _use_conv_kernel(h1, w1, nf, 4 * nf))
-            y = NearestConvUp2(nf, dt, "leaky2", name="conv_up1",
-                               emit_packed=packed_up)(y)
-            y = NearestConvUp2(nf, dt, "leaky2", name="conv_up2",
-                               emit_packed=packed_hr,
-                               consume_packed=packed_up)(y)
-            if packed_hr:
-                hr = ShuffledConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
-            else:
-                hr = FusedConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
-            y = FusedConv3x3(cin, "none", dt, name="conv_last")(hr)
+            if stage == "features":
+                return y
+            y = self._x4_head(y)
         else:
             # denoise / artifact-removal head (reference :1260-1262, :1335-1340)
             deep = conv_ab(forward_features(shallow))

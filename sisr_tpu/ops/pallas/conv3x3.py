@@ -388,3 +388,174 @@ def _sbwd(act, use_pallas, saved, dy):
 
 
 conv3x3_shuffled.defvjp(_sfwd, _sbwd)
+
+
+# ---------------------------------------------------------------------------
+# Shuffled conv + tail conv in ONE kernel: conv_last(act1(conv_hr(shuffle(y))))
+# for the x4 head.  The standalone pair writes + re-reads the full 4x-res hr
+# map (755 MB each way per 192x1920 strip) and runs conv_last as its own
+# launch; here the hr bands stay in VMEM and the tail conv emits with a
+# one-band lag (the 1-row halo of hr comes from the neighbouring bands via
+# scratch, like the FFN pipe kernel) — grid runs nb+1 steps.
+# ---------------------------------------------------------------------------
+
+def conv3x3_shuffled_tail_reference(yp, k1, b1, act1, k2, b2):
+    return conv3x3_reference(
+        conv3x3_shuffled_reference(yp, k1, b1, act1), None, k2, b2, "none")
+
+
+def _shuffled_tail_kernel(y_ref, hal_ref, k1_ref, b1_ref, k2_ref, b2_ref,
+                          o_ref, hcur_ref, hprev_ref, edge_ref, *, th: int,
+                          nb: int, act1: str):
+    w2 = y_ref.shape[2]
+    c4 = y_ref.shape[3]
+    cin = c4 // 4
+    c1 = hcur_ref.shape[2]
+    f32 = jnp.float32
+    dt = o_ref.dtype
+    wd = 2 * w2
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        # hr row -1 above the image is the tail conv's zero padding
+        edge_ref[...] = jnp.zeros_like(edge_ref)
+
+    @pl.when(i < nb)
+    def _compute():
+        # identical interleave + conv as _shuffled_conv_kernel
+        slab = jnp.concatenate([hal_ref[0, 0, 0:1], y_ref[0],
+                                hal_ref[0, 0, 1:2]], axis=0)
+        rows = slab.shape[0]
+        X = slab.reshape(rows, 2 * w2, 2 * cin)
+        u = jnp.stack([X[:, :, :cin], X[:, :, cin:]],
+                      axis=1).reshape(2 * rows, 2 * w2, cin)
+        u = u[1:2 * rows - 1]
+        up = jnp.pad(u, ((0, 0), (1, 1), (0, 0)))
+
+        def band(lo: int, cw: int):
+            cols = [up[:, lo + j:lo + j + cw, :] for j in range(3)]
+            taps = [cols[j][r:r + th].reshape(th * cw, cin)
+                    for r in range(3) for j in range(3)]
+            im = jnp.concatenate(taps, axis=-1)
+            acc = (jnp.dot(im, k1_ref[...].reshape(9 * cin, -1),
+                           preferred_element_type=f32) + b1_ref[0].astype(f32))
+            if act1 == "leaky":
+                acc = jax.nn.leaky_relu(acc, 0.01)
+            elif act1 == "leaky2":
+                acc = jax.nn.leaky_relu(acc, 0.2)
+            return acc.reshape(th, cw, -1)
+
+        if wd <= 512:
+            hr = band(0, wd)
+        else:
+            hr = jnp.concatenate([band(lo, min(512, wd - lo))
+                                  for lo in range(0, wd, 512)], axis=1)
+        hcur_ref[...] = hr.astype(hcur_ref.dtype)
+
+    @pl.when(i > 0)
+    def _emit():
+        # rows below the image are zero padding (i == nb step)
+        bot = jnp.where(i < nb, hcur_ref[0:1],
+                        jnp.zeros((1, wd, c1), hcur_ref.dtype))
+        hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], bot],
+                                 axis=0)                      # (th+2, wd, c1)
+        hp2 = jnp.pad(hstack, ((0, 0), (1, 1), (0, 0)))
+
+        def tail(lo: int, cw: int):
+            cols = [hp2[:, lo + j:lo + j + cw, :] for j in range(3)]
+            taps = [cols[j][r:r + th].reshape(th * cw, c1)
+                    for r in range(3) for j in range(3)]
+            im = jnp.concatenate(taps, axis=-1)
+            acc = (jnp.dot(im, k2_ref[...].reshape(9 * c1, -1),
+                           preferred_element_type=f32) + b2_ref[0].astype(f32))
+            return acc.reshape(th, cw, -1)
+
+        if wd <= 512:
+            out = tail(0, wd)
+        else:
+            out = jnp.concatenate([tail(lo, min(512, wd - lo))
+                                   for lo in range(0, wd, 512)], axis=1)
+        o_ref[0] = out.astype(dt)
+
+    @pl.when(i > 0)
+    def _edge_rotate():
+        edge_ref[...] = hprev_ref[th - 1:th]
+
+    @pl.when(i < nb)
+    def _rotate():
+        hprev_ref[...] = hcur_ref[...]
+
+
+def _conv3x3_shuffled_tail_pallas(yp, k1, b1, act1, k2, b2,
+                                  interpret: bool = False):
+    b, h2, w2, c4 = yp.shape
+    cin = c4 // 4
+    c1 = k1.shape[-1]
+    cout = k2.shape[-1]
+    hout, wout = 2 * h2, 2 * w2
+    th = _pick_row_tile(hout, wout, cin, max(c1, cout))
+    assert th and th % 2 == 0, (hout, wout, th)
+    thp = th // 2
+    nb = hout // th
+    dt = yp.dtype
+
+    ypad = jnp.pad(yp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    halo = jnp.stack([jnp.stack([ypad[:, r * thp], ypad[:, r * thp + thp + 1]],
+                                axis=1) for r in range(nb)], axis=1)
+
+    kern = functools.partial(_shuffled_tail_kernel, th=th, nb=nb, act1=act1)
+    clamp = lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0)
+    clamp5 = lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb + 1),
+        in_specs=[
+            pl.BlockSpec((1, thp, w2, c4), clamp),
+            pl.BlockSpec((1, 1, 2, w2, c4), clamp5),
+            pl.BlockSpec((9, cin, c1), lambda bi, ri: (0, 0, 0)),
+            pl.BlockSpec((1, c1), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((9, c1, cout), lambda bi, ri: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, ri: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wout, cout),
+                               lambda bi, ri: (bi, jnp.maximum(ri - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hout, wout, cout), dt),
+        scratch_shapes=[
+            pltpu.VMEM((th, wout, c1), dt),   # hr (current band)
+            pltpu.VMEM((th, wout, c1), dt),   # hr (previous band)
+            pltpu.VMEM((1, wout, c1), dt),    # hr band i-2, last row
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yp, halo, k1.reshape(9, cin, c1).astype(dt),
+      b1.reshape(1, c1).astype(dt),
+      k2.reshape(9, c1, cout).astype(dt), b2.reshape(1, cout).astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
+def conv3x3_shuffled_tail(yp, k1, b1, act1, k2, b2, use_pallas: bool):
+    """conv3x3(act1(conv3x3(pixel_shuffle_phase_major(yp, 2), k1, b1)),
+    k2, b2) — the x4 head's conv_hr + conv_last as one lagged-pipeline
+    kernel.  ``use_pallas=False`` runs the XLA composition (CPU, backward)."""
+    if use_pallas:
+        return _conv3x3_shuffled_tail_pallas(yp, k1, b1, act1, k2, b2)
+    return conv3x3_shuffled_tail_reference(yp, k1, b1, act1, k2, b2)
+
+
+def _stfwd(yp, k1, b1, act1, k2, b2, use_pallas):
+    return (conv3x3_shuffled_tail(yp, k1, b1, act1, k2, b2, use_pallas),
+            (yp, k1, b1, k2, b2))
+
+
+def _stbwd(act1, use_pallas, saved, dy):
+    yp, k1, b1, k2, b2 = saved
+    _, vjp = jax.vjp(
+        lambda a, ka, ba, kb, bb: conv3x3_shuffled_tail_reference(
+            a, ka, ba, act1, kb, bb), yp, k1, b1, k2, b2)
+    return vjp(dy)
+
+
+conv3x3_shuffled_tail.defvjp(_stfwd, _stbwd)

@@ -477,7 +477,10 @@ def _fused_fusion_pallas(a, b, raws, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct(a.shape, dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # 1080p whole-image eval (th=8, W=1920) measures 100.49 MB of
+            # scoped vmem — the gate kernel alone gets headroom toward the
+            # 128 MB physical (the other kernels stay at 100)
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
     )(a, b, p27, k1blk, hout3, wout3, hcorr, wcorr)
 

@@ -205,3 +205,110 @@ class TiledSR:
         if ph or pw:
             out = out[: h * self.scale, : w * self.scale]
         return out
+
+
+class BandedHeadSR:
+    """Whole-image forward with the x4 reconstruction head streamed over
+    feature-row bands.
+
+    The reference's eval/serving protocol is a whole-image forward
+    (test_experiment.py:75).  The transformer body is row-banded everywhere
+    (Pallas band kernels) so HBM scales with the feature map, but the
+    nearest+conv head materializes 2x and 4x-res activations — ~18 GB for a
+    1080p frame, past the 16 GB of one v5e.  This runner executes the body
+    whole (`stage='features'`), then streams the head (`stage='head'`) over
+    feature-row bands of ``band_rows`` + a 2-row halo inside one jitted
+    ``lax.scan``; with the head's total receptive radius of exactly 2
+    feature rows (3x3 convs at scales 1, 2, 4, 4) the banded output is
+    value-identical to the whole forward.
+
+    Image borders must land exactly ON band edges (the first/last band get
+    no halo): the head zero-pads its 2x/4x-res intermediates at the image
+    boundary, and a zero-padded *feature* halo would synthesize nonzero
+    values there.  Interior bands ride real-feature halos, so band starts
+    snap like ``tile_positions`` (last start = h - band - 2*halo) and kept
+    regions overlap-overwrite, both exact.
+
+    ``band_rows`` must be a multiple of 4 (keeps every band-kernel gate of
+    the head engaged: the packed convs need even row tiles).
+    """
+
+    HALO = 2  # feature rows = the head's receptive radius (1 + 1/2 + 1/4 + 1/4)
+
+    def __init__(self, model, band_rows: int = 120, out_dtype=jnp.float32,
+                 align: int = 0):
+        assert model.upsampler == "nearest+conv", model.upsampler
+        assert band_rows % 4 == 0, band_rows
+        self.model = model
+        self.band_rows = band_rows
+        self.out_dtype = out_dtype
+        # reflect-pad the input to `align` multiples before the forward
+        # (serving knob): un-aligned heights make every attention block pad
+        # and crop the ~750 MB feature map around its window partition
+        # (1080p: blocks at windows 16..64 each pad 1080 -> 1088+); align=64
+        # keeps all but the 48-window blocks pad-free for the flagship
+        # ladder.  Changes border context like any padding — same semantics
+        # class as the experiment's eval_bucket (~1e-2 dB).
+        self.align = align
+        self._compiled = {}
+
+    def _build(self, h: int, w: int):
+        s = self.model.upscale
+        nf = self.model.num_feat
+        halo = self.HALO
+        tb = self.band_rows
+        rows = tb + 2 * halo  # uniform band-input height
+
+        @jax.jit
+        def run_single(variables, img):
+            feat = self.model.apply(variables, img[None], stage="features")
+            return self.model.apply(variables, feat, stage="head")[0]
+
+        if h <= rows:
+            return run_single
+
+        # kept-region starts (kb) tile [0, h) in tb steps, last snapped to
+        # h - tb; band-input starts clamp the halo inside the image, so the
+        # first/last band's conv zero-padding IS the image-border padding
+        kbs = list(range(0, h - tb, tb)) + [h - tb]
+        starts = [min(max(kb - halo, 0), h - rows) for kb in kbs]
+        pos = jnp.asarray([(st, kb) for st, kb in zip(starts, kbs)],
+                          dtype=jnp.int32)
+
+        @jax.jit
+        def run(variables, img):
+            feat = self.model.apply(variables, img[None], stage="features")
+            canvas = jnp.zeros((1, s * h, s * w, 3), self.out_dtype)
+
+            def body(acc, st_kb):
+                st, kb = st_kb[0], st_kb[1]
+                band = jax.lax.dynamic_slice(
+                    feat, (0, st, 0, 0), (1, rows, w, nf))
+                sr = self.model.apply(variables, band, stage="head")
+                kept = jax.lax.dynamic_slice(
+                    sr, (0, s * (kb - st), 0, 0),
+                    (1, s * tb, s * w, sr.shape[-1])).astype(self.out_dtype)
+                return jax.lax.dynamic_update_slice(
+                    acc, kept, (0, s * kb, 0, 0)), None
+
+            canvas, _ = jax.lax.scan(body, canvas, pos)
+            return canvas[0]
+
+        return run
+
+    def __call__(self, variables, img: jnp.ndarray) -> jnp.ndarray:
+        """img: (H, W, 3) in [0,1] -> (H*scale, W*scale, 3)."""
+        h, w = img.shape[:2]
+        ph = (-h) % self.align if self.align else 0
+        pw = (-w) % self.align if self.align else 0
+        if ph or pw:
+            mode = "reflect" if (ph < h and pw < w) else "symmetric"
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        hh, ww = img.shape[:2]
+        key = (hh, ww)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(hh, ww)
+        out = self._compiled[key](variables, img)
+        if ph or pw:
+            out = out[: h * self.model.upscale, : w * self.model.upscale]
+        return out

@@ -367,6 +367,27 @@ def test_conv3x3_shuffled_parity():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_conv3x3_shuffled_tail_parity():
+    """Fused conv_hr + conv_last kernel (shuffled conv with the tail 3x3
+    emitted one band behind via VMEM scratch) == the two-op composition,
+    incl. multi-band (lagged pipeline engaged) and chunked widths."""
+    from sisr_tpu.ops.pallas.conv3x3 import (
+        _conv3x3_shuffled_tail_pallas, conv3x3_shuffled_tail_reference)
+
+    rng = np.random.default_rng(6)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    for (h2, w2, f, cout) in [(8, 16, 8, 3), (16, 32, 12, 3),
+                              (24, 300, 8, 3), (4, 300, 8, 5)]:
+        yp = mk(1, h2, w2, 4 * f)
+        k1, b1 = mk(3, 3, f, f), mk(f)
+        k2, b2 = mk(3, 3, f, cout), mk(cout)
+        ref = conv3x3_shuffled_tail_reference(yp, k1, b1, "leaky2", k2, b2)
+        got = _conv3x3_shuffled_tail_pallas(yp, k1, b1, "leaky2", k2, b2,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_conv3x3_grouped_cout_parity(monkeypatch):
     """Tiny-Cout convs (conv_last) can take the output-pixel-grouped matmul
     path (8 px x Cout lanes per token; SISR_CONV_GROUP=1, default-off after

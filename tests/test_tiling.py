@@ -143,6 +143,32 @@ def test_rect_strip_tiles_blend_exact():
     np.testing.assert_allclose(out_w, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("hw,band", [((20, 16), 8), ((16, 20), 16), ((6, 12), 8)])
+def test_banded_head_matches_whole(hw, band):
+    """BandedHeadSR (body whole, x4 head streamed over feature-row bands with
+    a 2-row halo) must reproduce the plain whole-image forward: the head's
+    receptive radius is exactly 2 feature rows, so banding is value-identical
+    — including images whose height is not a band multiple (zero-pad + crop)
+    and images shorter than the band."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+    from sisr_tpu.parallel.tiling import BandedHeadSR
+
+    model = HiTSIR(is_mult_size_conv_feat_extract=False,
+                   is_channel_spatial_attn=False, is_fusion=False,
+                   embed_dim=16, depths=(1,), num_heads=(2,),
+                   base_win_size=(4, 4), mlp_ratio=1.0,
+                   upsampler="nearest+conv", num_feat=8,
+                   upscale=4, hier_win_ratios=(1,))
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((*hw, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[None])
+
+    whole = np.asarray(model.apply(variables, img[None])[0])
+    banded = np.asarray(BandedHeadSR(model, band_rows=band)(variables, img))
+    assert banded.shape == whole.shape
+    np.testing.assert_allclose(banded, whole, atol=1e-5)
+
+
 def test_rect_strip_model_matches_square_tiling():
     """A real attention model through strip tiles must match square tiles
     where both see identical context (strip == whole image width)."""
