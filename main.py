@@ -61,6 +61,11 @@ def _cli():
                    choices=["thread", "process"],
                    help="train-loader worker pool kind (process scales the "
                         "BSRGAN degradation with host cores)")
+    p.add_argument("--eval-precision", default="fast",
+                   choices=["fast", "exact"],
+                   help="'exact' evaluates in f32 with matmul precision "
+                        "'highest' (metric-parity mode; ~35 dB bf16 backend "
+                        "floor otherwise — see ARCHITECTURE.md)")
     p.add_argument("--data-root", default="data")
     p.add_argument("--train-sets", nargs="+", default=None)
     p.add_argument("--eval-sets", nargs="+", default=None)
@@ -91,6 +96,7 @@ def _cli():
         test_data_name_list=args.test_sets,
         loader_workers=args.loader_workers,
         loader_worker_type=args.loader_worker_type,
+        eval_precision=args.eval_precision,
     )
 
 

@@ -76,10 +76,18 @@ class Experiment:
         # attention + global SCA pooling see the pad), so bucketed metrics
         # differ at the ~1e-2 dB level (tests/test_experiment_runner.py)
         eval_bucket: Optional[int] = None,
+        # 'fast' evaluates with the training compute dtype + Pallas kernels;
+        # 'exact' evaluates in f32 with matmul precision 'highest' and
+        # kernels off — the TPU backend otherwise feeds bf16 inputs to f32
+        # matmuls, capping agreement with an f32 oracle at ~35 dB PSNR
+        # (utils/precision.py; BASELINE.md metric-parity north star)
+        eval_precision: str = "fast",
         lpips_weights_path: Optional[str] = None,
         progress: bool = True,
         n_devices: Optional[int] = None,
     ):
+        assert eval_precision in ("fast", "exact"), eval_precision
+        self.eval_precision = eval_precision
         self.eval_tile = eval_tile
         self.eval_tile_overlap = eval_tile_overlap
         self.eval_bucket = eval_bucket
@@ -213,10 +221,23 @@ class Experiment:
         # one jitted forward for fixed training shapes + tiled eval runner
         self._train_apply = self.model.apply
         scale = getattr(self.model_config, "scaling_factor", 4)
+        eval_model = self.model
+        if self.eval_precision == "exact" and hasattr(self.model, "dtype"):
+            # params are float32 either way; 'exact' skips the compute-dtype
+            # cast (call sites also trace under utils.precision.exact_eval)
+            eval_model = self.model.clone(dtype=jnp.float32, parent=None)
         self.tiled = TiledSR(
-            lambda variables, x: self.model.apply(variables, x),
+            lambda variables, x: eval_model.apply(variables, x),
             scale=scale, tile=self.eval_tile, overlap=self.eval_tile_overlap)
-        self._whole_eval = jax.jit(lambda v, x: jnp.clip(self.model.apply(v, x), 0, 1))
+        self._whole_eval = jax.jit(lambda v, x: jnp.clip(eval_model.apply(v, x), 0, 1))
+        # large whole-image eval streams the x4 head over feature-row bands
+        # (parallel/tiling.py::BandedHeadSR): the unbanded 4x-res head
+        # activations cost ~4 KB/feature px of HBM (1080p frame ≈ 18 GB)
+        self._banded_eval = None
+        if getattr(eval_model, "upsampler", None) == "nearest+conv":
+            from sisr_tpu.parallel.tiling import BandedHeadSR
+            self._banded_eval = BandedHeadSR(eval_model)
+        self._band_area = 640 * 640
 
     def print_total_params_num(self):
         total = sum(int(np.prod(p.shape))
@@ -443,6 +464,13 @@ class Experiment:
 
     def _infer_one(self, lr_img: np.ndarray) -> np.ndarray:
         """(1,h,w,3) -> clipped (1,H,W,3) SR via tiled or whole-image path."""
+        if self.eval_precision == "exact":
+            from sisr_tpu.utils.precision import exact_eval
+            with exact_eval():
+                return self._infer_one_traced(lr_img)
+        return self._infer_one_traced(lr_img)
+
+    def _infer_one_traced(self, lr_img: np.ndarray) -> np.ndarray:
         variables = {"params": self.state.params}
         if self.eval_mode == "tiled":
             sr = self.tiled(variables, jnp.asarray(lr_img[0]))
@@ -455,10 +483,16 @@ class Experiment:
                 mode = "reflect" if (ph < h and pw < w) else "symmetric"
                 padded = np.pad(lr_img, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                 mode=mode)
-                sr = np.asarray(self._whole_eval(
-                    variables, self._place_eval(jnp.asarray(padded))))
+                sr = self._whole_forward(variables, padded)
                 s = getattr(self.model_config, "scaling_factor", 4)
                 return sr[:, :h * s, :w * s]
+        return self._whole_forward(variables, lr_img)
+
+    def _whole_forward(self, variables, lr_img) -> np.ndarray:
+        if (self._banded_eval is not None
+                and lr_img.shape[1] * lr_img.shape[2] >= self._band_area):
+            x = self._place_eval(jnp.asarray(lr_img))
+            return np.clip(np.asarray(self._banded_eval(variables, x[0])), 0, 1)[None]
         return np.asarray(self._whole_eval(
             variables, self._place_eval(jnp.asarray(lr_img))))
 

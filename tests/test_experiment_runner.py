@@ -75,6 +75,32 @@ def test_eval_mode_whole_vs_tiled(ran_experiment):
     assert psnr > 20.0, f"tiled-vs-whole PSNR {psnr:.1f} dB"
 
 
+def test_eval_precision_exact(ran_experiment):
+    """eval_precision='exact' (f32 + matmul precision 'highest' + kernels
+    off — utils/precision.py) must reproduce a plain f32 forward of the same
+    weights and restore the kernel gates afterwards."""
+    exp, root = ran_experiment
+    lr = np.random.default_rng(7).random((1, 24, 20, 3), dtype=np.float32)
+
+    import jax.numpy as jnp
+    f32_model = exp.model.clone(dtype=jnp.float32, parent=None)
+    want = np.clip(np.asarray(
+        f32_model.apply({"params": exp.state.params}, jnp.asarray(lr))), 0, 1)
+
+    cwd = os.getcwd()
+    os.chdir(root)  # init_model writes the param-count log (relative path)
+    exp.eval_precision = "exact"
+    try:
+        exp.init_model()  # rebuilds _whole_eval/tiled with the exact model
+        got = exp._infer_one(lr)
+    finally:
+        exp.eval_precision = "fast"
+        exp.init_model()
+        os.chdir(cwd)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert os.environ.get("SISR_FUSED_FFN", "1") == "1"  # gate restored
+
+
 def test_eval_bucket_bounds_compiles(ran_experiment):
     """eval_bucket pads whole-image eval shapes up to bucket multiples: one
     compiled program serves many image sizes, and the cropped metrics stay

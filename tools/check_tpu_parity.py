@@ -51,7 +51,9 @@ def cpu_reference(size: int):
 
 
 def main():
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    exact = "--exact" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    size = int(args[0]) if args else 192
 
     subprocess.run(
         [sys.executable, __file__, str(size), "--cpu-ref"], check=True)
@@ -68,22 +70,37 @@ def main():
     tpu = jax.devices()[0]
     assert "TPU" in str(tpu), f"need a TPU device, got {tpu}"
 
-    m16 = HiTSIR(**flagship_config(), dtype=jnp.bfloat16)
+    dt = jnp.float32 if exact else jnp.bfloat16
+    model = HiTSIR(**flagship_config(), dtype=dt)
     # rebuild the param tree from the saved leaves (same treedef: same model)
-    v_struct = jax.eval_shape(m16.init, jax.random.PRNGKey(0),
+    v_struct = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                               jnp.zeros((1, 64, 64, 3)))
     treedef = jax.tree.structure(v_struct)
-    leaves = [jnp.asarray(ref[f"p{i}"], jnp.bfloat16)
+    leaves = [jnp.asarray(ref[f"p{i}"], dt)
               for i in range(treedef.num_leaves)]
-    v16 = jax.device_put(jax.tree.unflatten(treedef, leaves), tpu)
+    v = jax.device_put(jax.tree.unflatten(treedef, leaves), tpu)
     x = jax.device_put(jnp.asarray(ref["x"]), tpu)
-    y16 = np.asarray(jax.jit(m16.apply)(v16, x).astype(jnp.float32))
 
-    mse = float(np.mean((ref["y32"] - y16) ** 2))
+    if exact:
+        # the serving-quality precision mode (utils/precision.py): f32 +
+        # matmul precision 'highest' + Pallas kernels off — demonstrates the
+        # <0.05 dB metric-parity claim is achievable on-device
+        from sisr_tpu.utils.precision import exact_eval
+        with exact_eval():
+            y = np.asarray(jax.jit(model.apply)(v, x).astype(jnp.float32))
+    else:
+        y = np.asarray(jax.jit(model.apply)(v, x).astype(jnp.float32))
+
+    mse = float(np.mean((ref["y32"] - y) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-    print(f"tpu-kernel vs cpu-f32 PSNR @ {size}: {psnr:.1f} dB "
-          f"(expect ~35 = TPU backend floor; <32 = kernel math bug)")
-    assert psnr >= 32.0, psnr
+    if exact:
+        print(f"tpu-exact vs cpu-f32 PSNR @ {size}: {psnr:.1f} dB "
+              f"(expect >=44; this is the eval_precision='exact' path)")
+        assert psnr >= 44.0, psnr
+    else:
+        print(f"tpu-kernel vs cpu-f32 PSNR @ {size}: {psnr:.1f} dB "
+              f"(expect ~35 = TPU backend floor; <32 = kernel math bug)")
+        assert psnr >= 32.0, psnr
 
 
 if __name__ == "__main__":
