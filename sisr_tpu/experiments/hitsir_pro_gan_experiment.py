@@ -36,6 +36,24 @@ from sisr_tpu.train.train_state import (GANTrainState, TrainState,
 from sisr_tpu.utils.meters import AverageMeter, format_str
 
 
+def load_perceptual_variables(path: Optional[str]):
+    """Converted VGG19-features variables for the GAN perceptual loss, or
+    None (→ random init) with a LOUD warning: a real GAN run against a
+    random-init VGG19 silently optimizes noise features."""
+    if path and os.path.exists(path):
+        from flax import serialization
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    import warnings
+    warnings.warn(
+        "GAN perceptual loss is using a RANDOM-INIT VGG19 (no "
+        "perceptual_weights_path given or file missing). Training quality "
+        "will be meaningless; convert pretrained weights with "
+        "tools/convert_vgg.py perceptual vgg19.pth out.msgpack",
+        stacklevel=2)
+    return None
+
+
 class HITSIRPROGANExperiment(HITSIRPROExperiment):
     gan_mode = True
 
@@ -64,13 +82,7 @@ class HITSIRPROGANExperiment(HITSIRPROExperiment):
         self.d_tx = get_optimizer(mc.optimizer, mc.learning_rate, mc.optimizer_params)
         self.d_state = self._place_state(create_train_state(self.d_params, self.d_tx))
 
-        variables = None
-        if self._perceptual_weights_path and os.path.exists(self._perceptual_weights_path):
-            from flax import serialization
-            with open(self._perceptual_weights_path, "rb") as f:
-                variables = serialization.msgpack_restore(f.read())
-        # random-init VGG19 when no pretrained weights are available
-        # (zero-egress environment) — wiring identical, values documented
+        variables = load_perceptual_variables(self._perceptual_weights_path)
         self.f_loss_function = PerceptualLoss(variables=variables)
         self.f_loss_function_weight = 1.0
         self.d_loss_function_weight = 0.1

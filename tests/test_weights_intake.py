@@ -77,6 +77,87 @@ def test_convert_vgg_cli_output_loads(converted_lpips):
     assert float(diff[0]) > 0  # positive lin heads -> positive distance
 
 
+# torchvision vgg19 "features" conv layer indices (16 convs; pattern
+# 2-2-4-4-4 with maxpools between stages)
+VGG19_CONVS = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+               (10, 128, 256), (12, 256, 256), (14, 256, 256), (16, 256, 256),
+               (19, 256, 512), (21, 512, 512), (23, 512, 512), (25, 512, 512),
+               (28, 512, 512), (30, 512, 512), (32, 512, 512), (34, 512, 512)]
+
+
+def test_gan_perceptual_weights_intake(tmp_path_factory):
+    """The GAN leg of the intake: a torch-format VGG19 features.N.* file →
+    convert_vgg.py perceptual → hitsir_pro_gan_experiment trains one epoch
+    with the converted weights actually loaded into the perceptual loss
+    (reference counterpart: KAIR loss.py:54-96 pretrained VGG19)."""
+    from tests.test_gan_experiment_runner import TINY_KW as GAN_KW
+    from tools import convert_vgg
+    from sisr_tpu.experiments.hitsir_pro_gan_experiment import (
+        hitsir_pro_gan_experiment)
+
+    tmp = tmp_path_factory.mktemp("vgg19w")
+    g = torch.Generator().manual_seed(11)
+    sd = {}
+    for idx, cin, cout in VGG19_CONVS:
+        sd[f"features.{idx}.weight"] = torch.randn(
+            (cout, cin, 3, 3), generator=g) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.05
+    pth = tmp / "vgg19.pth"
+    torch.save(sd, pth)
+    out = tmp / "vgg19_features.msgpack"
+
+    argv = sys.argv
+    sys.argv = ["convert_vgg.py", "perceptual", str(pth), str(out)]
+    try:
+        convert_vgg.main()
+    finally:
+        sys.argv = argv
+    assert out.exists()
+
+    root = tmp_path_factory.mktemp("ganwexp")
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    for split, name, n, size in [("train", "setA", 2, (300, 280)),
+                                 ("eval", "setB", 1, (72, 68))]:
+        d = root / "data" / split / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        exp = hitsir_pro_gan_experiment(
+            is_test=False, epochs=1, perceptual_weights_path=str(out),
+            **GAN_KW)
+    finally:
+        os.chdir(cwd)
+
+    # the converted torch weights are live inside the perceptual loss
+    got = np.asarray(exp.f_loss_function.variables["params"]["conv0"]["kernel"])
+    want = sd["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    folder = ("hitsir_pro_gan_loss(l1)_mulsizeconvextract(False)_casa(False)"
+              "_embed_dim(20)_len(depths)(1)")
+    loss_rows = (root / "logs" / folder / "loss_log.txt").read_text().splitlines()
+    g_loss = float(loss_rows[0].split()[1].split("loss:")[1])
+    assert np.isfinite(g_loss) and g_loss > 0
+
+
+def test_gan_random_vgg_warns():
+    """Without perceptual weights the GAN experiment must warn loudly that
+    the VGG19 is random-init (quality-meaningless outside tests)."""
+    from sisr_tpu.experiments.hitsir_pro_gan_experiment import (
+        load_perceptual_variables)
+
+    with pytest.warns(UserWarning, match="RANDOM-INIT VGG19"):
+        assert load_perceptual_variables(None) is None
+    with pytest.warns(UserWarning, match="RANDOM-INIT VGG19"):
+        assert load_perceptual_variables("/nonexistent/vgg19.msgpack") is None
+
+
 def test_experiment_logs_real_lpips(converted_lpips, tmp_path_factory):
     """eval with a weights file logs a real LPIPS, not the 1.0 sentinel, and
     the combined-best rule sees the genuine metric."""
