@@ -230,7 +230,12 @@ class BandedHeadSR:
     regions overlap-overwrite, both exact.
 
     ``band_rows`` must be a multiple of 4 (keeps every band-kernel gate of
-    the head engaged: the packed convs need even row tiles).
+    the head engaged: the packed convs need even row tiles).  It is a
+    *target*: when some 4-multiple divisor of the feature height lies near
+    it, that divisor is used instead and the scan emits the kept bands as
+    stacked ``ys`` reshaped to the frame — no carried SR canvas (190 MB of
+    bf16 at 1080p), no per-band ``dynamic_update_slice``.  Non-divisible
+    heights keep the canvas + overlap-overwrite form.
     """
 
     HALO = 2  # feature rows = the head's receptive radius (1 + 1/2 + 1/4 + 1/4)
@@ -266,6 +271,37 @@ class BandedHeadSR:
 
         if h <= rows:
             return run_single
+
+        # prefer a 4-multiple divisor of h near the target band size: kept
+        # regions then tile [0, h) exactly and the scan can emit stacked ys
+        divs = [d for d in range(4, h - 2 * halo + 1, 4)
+                if h % d == 0 and tb // 2 <= d <= 2 * tb]
+        tbe = min(divs, key=lambda d: (abs(d - tb), -d)) if divs else None
+
+        if tbe is not None:
+            rows_e = tbe + 2 * halo
+            kbs = list(range(0, h, tbe))
+            starts = [min(max(kb - halo, 0), h - rows_e) for kb in kbs]
+            pos = jnp.asarray([(st, s * (kb - st))
+                               for st, kb in zip(starts, kbs)], dtype=jnp.int32)
+
+            @jax.jit
+            def run_stacked(variables, img):
+                feat = self.model.apply(variables, img[None], stage="features")
+
+                def body(_, st_off):
+                    band = jax.lax.dynamic_slice(
+                        feat, (0, st_off[0], 0, 0), (1, rows_e, w, nf))
+                    sr = self.model.apply(variables, band, stage="head")
+                    kept = jax.lax.dynamic_slice(
+                        sr, (0, st_off[1], 0, 0),
+                        (1, s * tbe, s * w, sr.shape[-1]))
+                    return None, kept[0].astype(self.out_dtype)
+
+                _, bands = jax.lax.scan(body, None, pos)
+                return bands.reshape(s * h, s * w, -1)
+
+            return run_stacked
 
         # kept-region starts (kb) tile [0, h) in tb steps, last snapped to
         # h - tb; band-input starts clamp the halo inside the image, so the

@@ -143,7 +143,12 @@ def test_rect_strip_tiles_blend_exact():
     np.testing.assert_allclose(out_w, ref, atol=1e-6)
 
 
-@pytest.mark.parametrize("hw,band", [((20, 16), 8), ((16, 20), 16), ((6, 12), 8)])
+@pytest.mark.parametrize("hw,band", [
+    ((20, 16), 8),    # stacked-ys path (divisor 4 of 20 near the target)
+    ((20, 16), 16),   # canvas path (no 4-multiple divisor in [8, 32])
+    ((16, 20), 16),   # single whole-image call (h <= band + halos)
+    ((6, 12), 8),
+])
 def test_banded_head_matches_whole(hw, band):
     """BandedHeadSR (body whole, x4 head streamed over feature-row bands with
     a 2-row halo) must reproduce the plain whole-image forward: the head's
