@@ -679,11 +679,23 @@ class HierarchicalTransformerBlock(nn.Module):
         dt = self.dtype
         shortcut = x
         wh, ww = self.window_size
-        # folded stats are pools over the UNPADDED x; usable only when this
-        # block's window needs no padding (then xp == x)
-        if not (deterministic and h % wh == 0 and w % ww == 0):
+        if not deterministic:
             stats = None
         xp = pad_to_multiple(x, self.window_size)  # reflect (reference :664-674)
+        if stats is not None and xp.shape[1:3] != (h, w):
+            # the folded stats describe the UNPADDED x; transform them to
+            # the reflect-padded xp SCA actually pools: channel pools
+            # commute with spatial padding (pad the maps), the global max
+            # is unchanged (reflection only duplicates values), and the
+            # global sum gains the pad strips — two tiny slice reduces of
+            # xp instead of re-reading the full feature map from HBM
+            cmean, cmax, ssum, smax = stats
+            f32 = jnp.float32
+            cmean = pad_to_multiple(cmean[..., None], self.window_size)[..., 0]
+            cmax = pad_to_multiple(cmax[..., None], self.window_size)[..., 0]
+            ssum = (ssum + xp[:, h:, :w].astype(f32).sum(axis=(1, 2))
+                    + xp[:, :, w:].astype(f32).sum(axis=(1, 2)))
+            stats = (cmean, cmax, ssum, smax)
         xp = SCC(
             dim=self.dim,
             base_win_size=self.base_win_size,
@@ -738,7 +750,10 @@ class HierarchicalTransformerBlock(nn.Module):
             # fallback keeps the (out, stats) interface at identical cost to
             # the consumer computing the pools itself
             if use_pallas and os.environ.get("SISR_FFN_PIPE", "1") == "1":
-                return htb_tail_stats(*args, True)
+                # pass the UNCROPPED padded SCC output: the pipe kernel's
+                # band grid reads only rows [0, h) (the 750 MB crop slice
+                # of a window-padded block becomes free)
+                return htb_tail_stats(xp, *args[1:], True)
             out = htb_tail(*args, use_pallas)
             return out, stats_reference(out)
         return htb_tail(*args, use_pallas)
@@ -784,13 +799,13 @@ class RHTB(nn.Module):
         block_cls = (nn.remat(HierarchicalTransformerBlock, static_argnums=(2,))
                      if self.use_checkpoint else HierarchicalTransformerBlock)
         # eval-only: each block's fused tail kernel emits the SCA pool stats
-        # the NEXT block needs, when that block's window won't pad
+        # the NEXT block needs (HTB transforms them when that block's
+        # window pads — pools commute with the reflect padding)
         thread = deterministic and not self.use_checkpoint
         stats = None
         for i in range(self.depth):
             nxt = self.window_sizes[i + 1] if i + 1 < self.depth else None
             want = (thread and nxt is not None
-                    and h % nxt[0] == 0 and w % nxt[1] == 0
                     and self.is_channel_spatial_attn)
             block = block_cls(
                 dim=self.dim,

@@ -262,10 +262,17 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
 def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                    ln2_s, ln2_b, interpret: bool = False,
                    stats: bool = False):
-    b, h, wd, c = attn.shape
+    # ``attn`` may be TALLER than ``shortcut`` (a window-padded SCC output,
+    # reference pads reflect then crops): the band grid only ever reads rows
+    # [0, h), so the caller's 750 MB crop slice is free here via BlockSpec
+    b, h, wd, c = shortcut.shape
     ch = w1.shape[1]
     th = _pick_row_tile(h, wd, attn.dtype.itemsize)
     assert th, f"no row tile for H={h}"
+    if attn.shape[2] != wd:
+        attn = attn[:, :, :wd]  # width pad: crop (no BlockSpec free lunch)
+    if attn.shape[1] != h and attn.shape[1] % th != 0:
+        attn = attn[:, :h]  # keep Mosaic's block tiling of the taller array
     nb = h // th
     dt = attn.dtype
 
@@ -463,8 +470,12 @@ def htb_tail_stats(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
     output from HBM for the 4 global passes.  Eval-only (no custom_vjp);
     training takes the plain ``htb_tail`` path.
 
-    Returns (out, (cmean, cmax, ssum, smax))."""
-    b, h, wd, c = attn.shape
+    Returns (out, (cmean, cmax, ssum, smax)).
+
+    ``attn`` may be the window-PADDED SCC output (taller/wider than
+    ``shortcut``): the pipe kernel's band grid reads only rows [0, h), so
+    the crop is free; the fallback paths slice."""
+    b, h, wd, c = shortcut.shape
     th = _pick_row_tile(h, wd, attn.dtype.itemsize)
     if (use_pallas or interpret) and th and (th * wd) % 128 == 0:
         res = _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb,
@@ -475,6 +486,8 @@ def htb_tail_stats(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
         cmax = cmax[:, :, 0, :].reshape(b, h, wd)
         return out, (cmean, cmax,
                      psum[:, :, 0, :].sum(axis=1), pmax[:, :, 0, :].max(axis=1))
+    if attn.shape[1:3] != (h, wd):
+        attn = attn[:, :h, :wd]
     if use_pallas:
         out = htb_tail(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                        ln2_s, ln2_b, True)

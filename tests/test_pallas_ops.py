@@ -543,3 +543,46 @@ def test_conv3x3_kernel_chunked_im2col_parity():
     want = conv3x3_reference(y, None, k, b, "leaky")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_stats_threading_through_padding_window():
+    """Folded SCA stats threaded into a block whose window PADS the feature
+    map (HTB transforms them: reflect-padded maps, strip-summed global sum)
+    must reproduce the unthreaded forward (use_checkpoint=True disables
+    threading; same params, same math)."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+
+    kw = dict(is_mult_size_conv_feat_extract=False,
+              is_channel_spatial_attn=True, is_fusion=False,
+              embed_dim=16, depths=(3,), num_heads=(2,),
+              base_win_size=(4, 4), mlp_ratio=1.0,
+              upsampler="pixelshuffledirect", upscale=4,
+              hier_win_ratios=(1, 3, 1))  # win 12 pads H=16 -> 24
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((1, 16, 20, 3), dtype=np.float32))
+    threaded = HiTSIR(**kw)
+    plain = HiTSIR(**kw, use_checkpoint=True)
+    variables = threaded.init(jax.random.PRNGKey(2), img)
+    a = np.asarray(threaded.apply(variables, img))
+    b = np.asarray(plain.apply(variables, img))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_htb_tail_stats_accepts_padded_attn():
+    """htb_tail_stats fed the UNCROPPED window-padded SCC output (taller than
+    shortcut) must equal the cropped call: the pipe kernel's band grid reads
+    only rows [0, h) via BlockSpec — the caller's crop slice is free."""
+    from sisr_tpu.ops.pallas.ffn import htb_tail_reference, htb_tail_stats
+
+    args = _tail_args(h=32, w=64, c=12, ch=24, b=1, seed=5)
+    ref = htb_tail_reference(*args)
+    pad = jnp.pad(args[0], ((0, 0), (0, 16), (0, 0), (0, 0)), mode="reflect")
+    for taller in (pad,                       # 48 % th == 0: BlockSpec path
+                   pad[:, :37]):              # 37 % th != 0: internal crop
+        out, stats = htb_tail_stats(taller, *args[1:], False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+        # jnp fallback path slices too
+        out2, _ = htb_tail_stats(taller, *args[1:], False)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
