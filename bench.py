@@ -88,19 +88,22 @@ def main():
     latency = min(times)
 
     mps = (h * w / 1e6) / latency
-    print(json.dumps({
+    record = {
         "metric": "hitsir_pro_x4_1080p_input_megapixels_per_sec",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "latency_ms": round(latency * 1e3, 1),
         "mode": mode,
-        "tile": tile_env,
-        "chunk": chunk,
-        "overlap": overlap,
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    # report only the knobs of the path actually timed
+    if mode == "whole":
+        record.update({"band_rows": band, "align": align})
+    else:
+        record.update({"tile": tile_env, "chunk": chunk, "overlap": overlap})
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -82,12 +82,21 @@ class Experiment:
         # matmuls, capping agreement with an f32 oracle at ~35 dB PSNR
         # (utils/precision.py; BASELINE.md metric-parity north star)
         eval_precision: str = "fast",
+        # whole-image eval routes through the banded-head runner (BandedHeadSR)
+        # at/above this input area (px).  The head banding is value-identical
+        # (tests/test_tiling.py::test_banded_head_matches_whole); the knob only
+        # trades one extra compiled program against head-activation HBM.  The
+        # default sits well under the measured 960x960 whole-vs-tiled
+        # crossover and far under the ~18 GB 1080p HBM cliff the banding
+        # exists for (ARCHITECTURE.md "Whole-image serving").
+        eval_band_area: int = 640 * 640,
         lpips_weights_path: Optional[str] = None,
         progress: bool = True,
         n_devices: Optional[int] = None,
     ):
         assert eval_precision in ("fast", "exact"), eval_precision
         self.eval_precision = eval_precision
+        self.eval_band_area = eval_band_area
         self.eval_tile = eval_tile
         self.eval_tile_overlap = eval_tile_overlap
         self.eval_bucket = eval_bucket
@@ -237,7 +246,7 @@ class Experiment:
         if getattr(eval_model, "upsampler", None) == "nearest+conv":
             from sisr_tpu.parallel.tiling import BandedHeadSR
             self._banded_eval = BandedHeadSR(eval_model)
-        self._band_area = 640 * 640
+        self._band_area = self.eval_band_area
 
     def print_total_params_num(self):
         total = sum(int(np.prod(p.shape))

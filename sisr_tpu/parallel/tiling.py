@@ -311,10 +311,12 @@ class BandedHeadSR:
         pos = jnp.asarray([(st, kb) for st, kb in zip(starts, kbs)],
                           dtype=jnp.int32)
 
+        out_ch = self.model.in_chans
+
         @jax.jit
         def run(variables, img):
             feat = self.model.apply(variables, img[None], stage="features")
-            canvas = jnp.zeros((1, s * h, s * w, 3), self.out_dtype)
+            canvas = jnp.zeros((1, s * h, s * w, out_ch), self.out_dtype)
 
             def body(acc, st_kb):
                 st, kb = st_kb[0], st_kb[1]

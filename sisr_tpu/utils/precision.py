@@ -16,6 +16,14 @@ star) therefore need an explicit high-precision eval path:
 Use ``exact_eval()`` as a context manager around *tracing* of an eval
 function (the first call of a jitted fn); re-wrapping every call is safe
 and cheap.
+
+Single-threaded use only: the kernel gates are process-global environment
+variables read at trace time, so any *other* trace running concurrently or
+interleaved inside the context (e.g. a train-step compile between eval
+batches) would silently bake in kernels-off, and nested ``exact_eval()``
+blocks restore stale values on exit.  Trace train steps before entering, or
+after leaving, the context.  (The gates stay env-vars deliberately: they
+must also be settable from the shell for A/B tooling.)
 """
 
 from __future__ import annotations

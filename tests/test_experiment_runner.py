@@ -101,6 +101,37 @@ def test_eval_precision_exact(ran_experiment):
     assert os.environ.get("SISR_FUSED_FFN", "1") == "1"  # gate restored
 
 
+def test_eval_band_area_routing_boundary(ran_experiment):
+    """Whole-image eval routes through the banded-head runner exactly at
+    eval_band_area (inclusive); both paths produce the same pixels."""
+    exp, _ = ran_experiment
+    lr = np.random.default_rng(5).random((1, 24, 20, 3), dtype=np.float32)
+    area = 24 * 20
+
+    assert exp._banded_eval is not None  # nearest+conv upsampler
+    calls = []
+    real = exp._banded_eval
+
+    def spy(variables, x):
+        calls.append(x.shape)
+        return real(variables, x)
+
+    exp.eval_mode = "whole"
+    old = exp._band_area
+    try:
+        exp._banded_eval = spy
+        exp._band_area = area + 1  # just above -> plain whole forward
+        a = exp._infer_one(lr)
+        assert calls == []
+        exp._band_area = area      # at the threshold -> banded (>= inclusive)
+        b = exp._infer_one(lr)
+        assert len(calls) == 1
+    finally:
+        exp._band_area = old
+        exp._banded_eval = real
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_eval_bucket_bounds_compiles(ran_experiment):
     """eval_bucket pads whole-image eval shapes up to bucket multiples: one
     compiled program serves many image sizes, and the cropped metrics stay

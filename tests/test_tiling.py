@@ -145,7 +145,7 @@ def test_rect_strip_tiles_blend_exact():
 
 @pytest.mark.parametrize("hw,band", [
     ((20, 16), 8),    # stacked-ys path (divisor 4 of 20 near the target)
-    ((20, 16), 16),   # canvas path (no 4-multiple divisor in [8, 32])
+    ((26, 12), 16),   # canvas path (h > band + halos; 26 has no 4-mult divisor)
     ((16, 20), 16),   # single whole-image call (h <= band + halos)
     ((6, 12), 8),
 ])
