@@ -924,6 +924,9 @@ class HiTSIR(nn.Module):
     hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8, 10, 12)
     num_feat: int = 64
     dtype: Dtype = jnp.float32
+    # stage='head' emits the group-packed (B, H, W/G, G*in_chans) layout
+    # (see _x4_head) — set by BandedHeadSR via .clone(); params unchanged
+    head_packed: bool = False
 
     def window_sizes(self) -> Tuple[Tuple[int, int], ...]:
         """Per-block window sizes; only the first ``depth`` ratios are used
@@ -933,13 +936,20 @@ class HiTSIR(nn.Module):
             for r in self.hier_win_ratios
         )
 
-    def _x4_head(self, y: jnp.ndarray) -> jnp.ndarray:
+    def _x4_head(self, y: jnp.ndarray, packed_out: bool = False) -> jnp.ndarray:
         """The 'nearest+conv' x4 reconstruction tail (conv_up1 → conv_last)
         on a (B, h1, w1, num_feat) feature map.  Split out of ``__call__`` so
         whole-image eval can stream it over feature-row bands (the 4x-res
         activations of a 1080p frame alone are ~18 GB — parallel/tiling.py::
         BandedHeadSR).  Called inside the compact ``__call__`` frame; module
-        names match the reference state dict (torch_port.py)."""
+        names match the reference state dict (torch_port.py).
+
+        ``packed_out=True`` returns the GROUP-PACKED (B, H, W/G, G*in_chans)
+        layout (G = ops.pallas.conv3x3.tail_pack_group()): XLA's TPU layout
+        pads the minor dim to 128 lanes, so a (..., 3) output is 42x inflated
+        in HBM — the packed form keeps the banded head's per-band writes and
+        blend slices at their nominal size (requires 4*w1 % G == 0; values
+        equal the plain output reshaped)."""
         dt = self.dtype
         nf = self.num_feat
         h1, w1 = y.shape[1], y.shape[2]
@@ -958,22 +968,35 @@ class HiTSIR(nn.Module):
                            emit_packed=packed_hr,
                            consume_packed=packed_up)(y)
         import os
+        from sisr_tpu.ops.pallas.conv3x3 import tail_pack_group
+        grp = tail_pack_group()
+        assert not packed_out or (4 * w1) % grp == 0, (w1, grp)
         if packed_hr and os.environ.get("SISR_FUSED_TAIL", "1") == "1":
             # conv_hr + conv_last as ONE lagged-pipeline kernel: the 4x-res
             # hr map (755 MB per 192x1920 strip) never round-trips HBM.
             # Param tree matches the two-module path exactly (same names,
             # same shapes, same init) — checkpoints are interchangeable.
-            from sisr_tpu.ops.pallas.conv3x3 import conv3x3_shuffled_tail
+            from sisr_tpu.ops.pallas.conv3x3 import (
+                conv3x3_shuffled_tail, conv3x3_shuffled_tail_packed,
+                supports_packed_tail)
             hrk, hrb = Conv2dParams(3, nf, nf, name="conv_hr")()
             lk, lb = Conv2dParams(3, nf, self.in_chans, name="conv_last")()
-            return conv3x3_shuffled_tail(
-                y, hrk.astype(dt), hrb.astype(dt), "leaky2",
-                lk.astype(dt), lb.astype(dt), True)
-        if packed_hr:
+            args = (y, hrk.astype(dt), hrb.astype(dt), "leaky2",
+                    lk.astype(dt), lb.astype(dt))
+            if packed_out and supports_packed_tail(*y.shape[1:4],
+                                                   self.in_chans):
+                return conv3x3_shuffled_tail_packed(*args, True)
+            out = conv3x3_shuffled_tail(*args, True)
+        elif packed_hr:
             hr = ShuffledConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
+            out = FusedConv3x3(self.in_chans, "none", dt, name="conv_last")(hr)
         else:
             hr = FusedConv3x3(nf, "leaky2", dt, name="conv_hr")(y)
-        return FusedConv3x3(self.in_chans, "none", dt, name="conv_last")(hr)
+            out = FusedConv3x3(self.in_chans, "none", dt, name="conv_last")(hr)
+        if packed_out:
+            b_, hh, ww, cc = out.shape
+            out = out.reshape(b_, hh, ww // grp, grp * cc)
+        return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -998,7 +1021,10 @@ class HiTSIR(nn.Module):
         if stage != "full":
             assert self.upsampler == "nearest+conv", self.upsampler
         if stage == "head":
-            return self._x4_head(x) / self.img_range + mean
+            out = self._x4_head(x, packed_out=self.head_packed)
+            if out.shape[-1] != self.in_chans and mean.size == self.in_chans:
+                mean = jnp.tile(mean, out.shape[-1] // self.in_chans)
+            return out / self.img_range + mean
         x = (x - mean) * self.img_range
 
         # 1. shallow feature extraction (reference :1139-1145)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -131,3 +132,79 @@ def deform_conv2d(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y.reshape(b, hout, wout, cout)
+
+
+def deform_attn(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    offset: jnp.ndarray,
+    window: Tuple[int, int] = (3, 3),
+    stride: int = 1,
+    padding: Optional[int] = None,
+    dilation: int = 1,
+    attention_heads: int = 1,
+    deformable_groups: int = 1,
+) -> jnp.ndarray:
+    """Deformable attention — TPU-native counterpart of the reference's CUDA
+    extension (`KAIR_master/models/op/deform_attn_cuda_kernel.cu:1`,
+    python wrapper `models/op/deform_attn.py:53-104`), inert in the reference
+    (VRT-class models only); library surface here.
+
+    Per output position p and clip n, K = kh*kw points are bilinearly
+    sampled from k and v at the deform-conv grid (p - pad + tap*dilation +
+    learned offset, per deformable group); each attention head then
+    softmax-attends q(p)/sqrt(d) over the clip_size*K sampled keys and
+    averages the sampled values (deform_attn_cuda_pt110.cpp:103-112).
+
+    NHWC layouts:
+      q       (B, H, W, C)
+      kv      (B, clip_size, H, W, 2*C)         k | v on the channel axis
+      offset  (B, clip_size, H, W, dg*K*2)      per group g, tap t: (dy, dx)
+    Returns (B, H, W, C).
+    """
+    b, h, w, c = q.shape
+    clip = kv.shape[1]
+    kh, kw = _pair(window)
+    k = kh * kw
+    dg = deformable_groups
+    heads = attention_heads
+    pad = kh // 2 if padding is None else padding
+    assert stride == 1, "the reference module only instantiates stride 1"
+    assert kv.shape == (b, clip, h, w, 2 * c), kv.shape
+    assert offset.shape == (b, clip, h, w, dg * k * 2), offset.shape
+    assert c % dg == 0 and c % heads == 0
+    d = c // heads
+    p = h * w
+    f32 = jnp.float32
+
+    oy = jnp.arange(h) - pad
+    ox = jnp.arange(w) - pad
+    ty = jnp.arange(kh) * dilation
+    tx = jnp.arange(kw) * dilation
+    base_y = (oy[:, None, None, None] + ty[None, None, :, None])
+    base_x = (ox[None, :, None, None] + tx[None, None, None, :])
+    base_y = jnp.broadcast_to(base_y, (h, w, kh, kw)).reshape(1, p, 1, k)
+    base_x = jnp.broadcast_to(base_x, (h, w, kh, kw)).reshape(1, p, 1, k)
+
+    cpg = c // dg
+    ks_list, vs_list = [], []
+    for n in range(clip):
+        off = offset[:, n].reshape(b, p, dg, k, 2).astype(f32)
+        sy = base_y.astype(f32) + off[..., 0]
+        sx = base_x.astype(f32) + off[..., 1]
+        kcols, vcols = [], []
+        for g in range(dg):
+            kg = kv[:, n, :, :, g * cpg:(g + 1) * cpg]
+            vg = kv[:, n, :, :, c + g * cpg:c + (g + 1) * cpg]
+            kcols.append(_bilinear_gather(kg, sy[:, :, g], sx[:, :, g]))
+            vcols.append(_bilinear_gather(vg, sy[:, :, g], sx[:, :, g]))
+        ks_list.append(jnp.concatenate(kcols, -1) if dg > 1 else kcols[0])
+        vs_list.append(jnp.concatenate(vcols, -1) if dg > 1 else vcols[0])
+    ks = jnp.stack(ks_list, axis=2).reshape(b, p, clip * k, heads, d)
+    vs = jnp.stack(vs_list, axis=2).reshape(b, p, clip * k, heads, d)
+
+    qh = q.reshape(b, p, heads, d).astype(f32) * (float(d) ** -0.5)
+    logits = jnp.einsum("bphd,bpshd->bphs", qh, ks.astype(f32))
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bphs,bpshd->bphd", attn, vs.astype(f32))
+    return out.reshape(b, h, w, c).astype(q.dtype)

@@ -535,6 +535,261 @@ def _conv3x3_shuffled_tail_pallas(yp, k1, b1, act1, k2, b2,
       k2.reshape(9, c1, cout).astype(dt), b2.reshape(1, cout).astype(dt))
 
 
+# ---------------------------------------------------------------------------
+# Packed-output tail kernel (v2): same math as conv3x3_shuffled_tail but the
+# conv_last emits GROUP-PACKED output (B, H, W/G, G*3) instead of (B, H, W, 3).
+#
+# Two wins, both measured on the whole-frame profile (r5):
+#   * XLA's TPU layout pads the minor dim to 128 lanes, so every (..., 3)
+#     head output is 42x inflated in HBM — the banded head's per-band output
+#     write, kept-slice and stack each move ~1 GB instead of ~26 MB.
+#   * conv_last's matmul N=3 fills 3 of the MXU pass's 128 lanes; grouping
+#     G=16 adjacent output pixels into the N axis (K widens to the union of
+#     their taps) runs the same conv in ~2.7x fewer MXU passes.
+#
+# The kernel works in a PIXEL-PAIR representation throughout (Mosaic supports
+# column<->lane merges only from >=128-lane sources, see ROADMAP): conv_hr is
+# a pair-space conv (K = 3 rows x 3 pair-cols x 2cin, N = 2*c1 = 128 — also
+# removing the old N=64 half-fill and halving the hr scratch), and conv_last
+# groups g=8 hr pairs per output group.
+# ---------------------------------------------------------------------------
+
+
+def _pair_hr_weights(k1, b1, dt):
+    """(3, 3, cin, c1) conv kernel -> pair-space (3*3*2cin, 2c1) weights.
+
+    Input pair lanes: [col-phase 0 | col-phase 1] x cin; output pair lanes
+    [out px 2u | out px 2u+1] x c1.  Pair-col tap j covers input pair u-1+j.
+    """
+    cin, c1 = k1.shape[2], k1.shape[3]
+    k1 = k1.astype(jnp.float32)
+    w = jnp.zeros((3, 3, 2, cin, 2, c1), jnp.float32)
+    # out phase 0 (px 2u) taps px 2u-1..2u+1 = (j0,ph1) (j1,ph0) (j1,ph1)
+    w = w.at[:, 0, 1, :, 0, :].set(k1[:, 0])
+    w = w.at[:, 1, 0, :, 0, :].set(k1[:, 1])
+    w = w.at[:, 1, 1, :, 0, :].set(k1[:, 2])
+    # out phase 1 (px 2u+1) taps 2u..2u+2 = (j1,ph0) (j1,ph1) (j2,ph0)
+    w = w.at[:, 1, 0, :, 1, :].set(k1[:, 0])
+    w = w.at[:, 1, 1, :, 1, :].set(k1[:, 1])
+    w = w.at[:, 2, 0, :, 1, :].set(k1[:, 2])
+    return (w.reshape(3 * 3 * 2 * cin, 2 * c1).astype(dt),
+            jnp.tile(b1, 2).reshape(1, 2 * c1).astype(dt))
+
+
+def _group_last_weights(k2, b2, g: int, dt):
+    """(3, 3, c1, cout) conv kernel -> grouped (3*(g+2)*2c1, 2g*cout) weights.
+
+    K index (row r, window pair jp in [0, g+2), pair phase pin, channel);
+    input pixel of (jp, pin) relative to the group start = 2*jp + pin - 2.
+    Output column u*cout + m for group pixel u in [0, 2g)."""
+    c1, cout = k2.shape[2], k2.shape[3]
+    k2 = k2.astype(jnp.float32)
+    w = jnp.zeros((3, g + 2, 2, c1, 2 * g, cout), jnp.float32)
+    for jp in range(g + 2):
+        for pin in range(2):
+            for u in range(2 * g):
+                t = 2 * jp + pin - 2 - u + 1
+                if 0 <= t <= 2:
+                    w = w.at[:, jp, pin, :, u, :].set(k2[:, t])
+    return (w.reshape(3 * (g + 2) * 2 * c1, 2 * g * cout).astype(dt),
+            jnp.tile(b2, 2 * g).reshape(1, 2 * g * cout).astype(dt))
+
+
+def _shuffled_tail_kernel_v2(y_ref, hal_ref, k1_ref, b1_ref, k2_ref, b2_ref,
+                             o_ref, hcur_ref, hprev_ref, edge_ref, *, th: int,
+                             nb: int, act1: str, g: int):
+    """Pair-form lagged tail: hr lives as (th, W/2, 2*c1) pixel pairs."""
+    w2 = y_ref.shape[2]
+    c4 = y_ref.shape[3]
+    cin = c4 // 4
+    c1p = hcur_ref.shape[2]          # 2 * c1
+    cout = o_ref.shape[3] // (2 * g)
+    f32 = jnp.float32
+    dt = o_ref.dtype
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        edge_ref[...] = jnp.zeros_like(edge_ref)
+
+    @pl.when(i < nb)
+    def _compute():
+        slab = jnp.concatenate([hal_ref[0, 0, 0:1], y_ref[0],
+                                hal_ref[0, 0, 1:2]], axis=0)
+        # pair view with BOTH column phases on lanes, row phases interleaved:
+        # slab lanes are (2b + a)-major cin blocks (a=row, b=col phase)
+        pa = jnp.concatenate([slab[:, :, :cin], slab[:, :, 2 * cin:3 * cin]],
+                             axis=-1)               # row phase 0, (r, w2, 2cin)
+        pb = jnp.concatenate([slab[:, :, cin:2 * cin], slab[:, :, 3 * cin:]],
+                             axis=-1)               # row phase 1
+        rows = slab.shape[0]
+        u2 = jnp.stack([pa, pb], axis=1).reshape(2 * rows, w2, 2 * cin)
+        u2 = u2[1:2 * rows - 1]                     # rows r0-1 .. r0+th+1
+        up = jnp.pad(u2, ((0, 0), (1, 1), (0, 0)))  # 1 zero PAIR each side
+
+        def band(lo: int, cw: int):
+            cols = [up[:, lo + j:lo + j + cw, :] for j in range(3)]
+            taps = [cols[j][r:r + th].reshape(th * cw, 2 * cin)
+                    for r in range(3) for j in range(3)]
+            im = jnp.concatenate(taps, axis=-1)     # (th*cw, 18*cin)
+            acc = (jnp.dot(im, k1_ref[...], preferred_element_type=f32)
+                   + b1_ref[0].astype(f32))
+            if act1 == "leaky":
+                acc = jax.nn.leaky_relu(acc, 0.01)
+            elif act1 == "leaky2":
+                acc = jax.nn.leaky_relu(acc, 0.2)
+            return acc.reshape(th, cw, c1p)
+
+        if w2 <= 512:
+            hr = band(0, w2)
+        else:
+            hr = jnp.concatenate([band(lo, min(512, w2 - lo))
+                                  for lo in range(0, w2, 512)], axis=1)
+        hcur_ref[...] = hr.astype(hcur_ref.dtype)
+
+    @pl.when(i > 0)
+    def _emit():
+        bot = jnp.where(i < nb, hcur_ref[0:1],
+                        jnp.zeros((1, w2, c1p), hcur_ref.dtype))
+        hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], bot],
+                                 axis=0)            # (th+2, w2, 2c1)
+        ng = w2 // g
+        hg = hstack.reshape(th + 2, ng, g * c1p)    # merge from 128 lanes: OK
+        z = jnp.zeros((th + 2, 1, c1p), hstack.dtype)
+        prev_last = jnp.concatenate(
+            [z, hg[:, :ng - 1, (g - 1) * c1p:]], axis=1)
+        next_first = jnp.concatenate([hg[:, 1:, :c1p], z], axis=1)
+        img = jnp.concatenate([prev_last, hg, next_first], axis=-1)
+
+        def tail(lo: int, cg: int):
+            blk = [img[r:r + th, lo:lo + cg].reshape(th * cg, -1)
+                   for r in range(3)]
+            im = jnp.concatenate(blk, axis=-1)      # (th*cg, 3*(g+2)*2c1)
+            acc = (jnp.dot(im, k2_ref[...], preferred_element_type=f32)
+                   + b2_ref[0].astype(f32))
+            return acc.reshape(th, cg, 2 * g * cout)
+
+        chunk = 128
+        if ng <= chunk:
+            out = tail(0, ng)
+        else:
+            out = jnp.concatenate([tail(lo, min(chunk, ng - lo))
+                                   for lo in range(0, ng, chunk)], axis=1)
+        o_ref[0] = out.astype(dt)
+
+    @pl.when(i > 0)
+    def _edge_rotate():
+        edge_ref[...] = hprev_ref[th - 1:th]
+
+    @pl.when(i < nb)
+    def _rotate():
+        hprev_ref[...] = hcur_ref[...]
+
+
+def tail_pack_group() -> int:
+    """Output-pixel group size of the packed tail (G px = 2*this many pairs)."""
+    return 16
+
+
+def supports_packed_tail(h2: int, w2: int, c4: int, cout: int = 3) -> bool:
+    """Whether the packed tail kernel covers this packed head input."""
+    import os
+    cin = c4 // 4
+    g = tail_pack_group() // 2
+    th = _pick_row_tile(2 * h2, 2 * w2, cin, max(cin, cout))
+    return (th > 0 and th % 2 == 0 and 2 * cin >= 128
+            and (2 * w2) % (2 * g) == 0
+            and os.environ.get("SISR_TAIL_PACK", "1") == "1")
+
+
+def _conv3x3_shuffled_tail_packed_pallas(yp, k1, b1, act1, k2, b2,
+                                         interpret: bool = False):
+    b, h2, w2, c4 = yp.shape
+    cin = c4 // 4
+    c1 = k1.shape[-1]
+    cout = k2.shape[-1]
+    g = tail_pack_group() // 2
+    hout, wout = 2 * h2, 2 * w2
+    wpair = wout // 2
+    ng = wpair // g
+    th = _pick_row_tile(hout, wout, cin, max(c1, cout))
+    assert th and th % 2 == 0 and 2 * c1 >= 128 and wpair % g == 0, (
+        hout, wout, th, c1)
+    thp = th // 2
+    nb = hout // th
+    dt = yp.dtype
+
+    ypad = jnp.pad(yp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    halo = jnp.stack([jnp.stack([ypad[:, r * thp], ypad[:, r * thp + thp + 1]],
+                                axis=1) for r in range(nb)], axis=1)
+    k1p, b1p = _pair_hr_weights(k1, b1, dt)
+    k2g, b2g = _group_last_weights(k2, b2, g, dt)
+
+    kern = functools.partial(_shuffled_tail_kernel_v2, th=th, nb=nb,
+                             act1=act1, g=g)
+    clamp = lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0)
+    clamp5 = lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb + 1),
+        in_specs=[
+            pl.BlockSpec((1, thp, w2, c4), clamp),
+            pl.BlockSpec((1, 1, 2, w2, c4), clamp5),
+            pl.BlockSpec(k1p.shape, lambda bi, ri: (0, 0)),
+            pl.BlockSpec(b1p.shape, lambda bi, ri: (0, 0)),
+            pl.BlockSpec(k2g.shape, lambda bi, ri: (0, 0)),
+            pl.BlockSpec(b2g.shape, lambda bi, ri: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, ng, 2 * g * cout),
+                               lambda bi, ri: (bi, jnp.maximum(ri - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hout, ng, 2 * g * cout), dt),
+        scratch_shapes=[
+            pltpu.VMEM((th, wpair, 2 * c1), dt),   # hr pairs (current band)
+            pltpu.VMEM((th, wpair, 2 * c1), dt),   # hr pairs (previous band)
+            pltpu.VMEM((1, wpair, 2 * c1), dt),    # hr band i-2, last row
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yp, halo, k1p, b1p, k2g, b2g)
+
+
+def conv3x3_shuffled_tail_packed_reference(yp, k1, b1, act1, k2, b2,
+                                           grp: int | None = None):
+    """XLA oracle: the plain tail output reshaped to (B, H, W/G, G*cout)."""
+    grp = grp if grp is not None else tail_pack_group()
+    out = conv3x3_shuffled_tail_reference(yp, k1, b1, act1, k2, b2)
+    b, h, w, cout = out.shape
+    return out.reshape(b, h, w // grp, grp * cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
+def conv3x3_shuffled_tail_packed(yp, k1, b1, act1, k2, b2, use_pallas: bool):
+    """The x4 head's conv_hr + conv_last with GROUP-PACKED output
+    (B, H, W/16, 16*cout) — see the v2 kernel comment for why.  Values equal
+    ``conv3x3_shuffled_tail(...).reshape(B, H, W/16, 16*cout)`` exactly."""
+    if use_pallas:
+        return _conv3x3_shuffled_tail_packed_pallas(yp, k1, b1, act1, k2, b2)
+    return conv3x3_shuffled_tail_packed_reference(yp, k1, b1, act1, k2, b2)
+
+
+def _stpfwd(yp, k1, b1, act1, k2, b2, use_pallas):
+    return (conv3x3_shuffled_tail_packed(yp, k1, b1, act1, k2, b2, use_pallas),
+            (yp, k1, b1, k2, b2))
+
+
+def _stpbwd(act1, use_pallas, saved, dy):
+    yp, k1, b1, k2, b2 = saved
+    _, vjp = jax.vjp(
+        lambda a, ka, ba, kb, bb: conv3x3_shuffled_tail_packed_reference(
+            a, ka, ba, act1, kb, bb), yp, k1, b1, k2, b2)
+    return vjp(dy)
+
+
+conv3x3_shuffled_tail_packed.defvjp(_stpfwd, _stpbwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
 def conv3x3_shuffled_tail(yp, k1, b1, act1, k2, b2, use_pallas: bool):
     """conv3x3(act1(conv3x3(pixel_shuffle_phase_major(yp, 2), k1, b1)),

@@ -258,16 +258,30 @@ class BandedHeadSR:
         self._compiled = {}
 
     def _build(self, h: int, w: int):
+        import os
         s = self.model.upscale
         nf = self.model.num_feat
         halo = self.HALO
         tb = self.band_rows
         rows = tb + 2 * halo  # uniform band-input height
 
+        # group-packed head output (B, rows*s, w*s/G, G*C): keeps the head's
+        # per-band writes and the blend slices at nominal size instead of the
+        # 42x lane-padded (..., 3) layout, and fills conv_last's MXU N axis
+        # (ops/pallas/conv3x3.py packed-tail comment).  The packed bands
+        # reassemble into the frame with ONE final reshape — value-identical.
+        from sisr_tpu.ops.pallas.conv3x3 import tail_pack_group
+        packed = ((s * w) % tail_pack_group() == 0
+                  and self.model.upsampler == "nearest+conv"
+                  and os.environ.get("SISR_HEAD_PACK", "1") == "1")
+        hmodel = (self.model.clone(head_packed=True)
+                  if packed and not self.model.head_packed else self.model)
+
         @jax.jit
         def run_single(variables, img):
             feat = self.model.apply(variables, img[None], stage="features")
-            return self.model.apply(variables, feat, stage="head")[0]
+            out = hmodel.apply(variables, feat, stage="head")[0]
+            return out.reshape(s * img.shape[0], s * img.shape[1], -1)
 
         if h <= rows:
             return run_single
@@ -292,13 +306,15 @@ class BandedHeadSR:
                 def body(_, st_off):
                     band = jax.lax.dynamic_slice(
                         feat, (0, st_off[0], 0, 0), (1, rows_e, w, nf))
-                    sr = self.model.apply(variables, band, stage="head")
+                    sr = hmodel.apply(variables, band, stage="head")
                     kept = jax.lax.dynamic_slice(
                         sr, (0, st_off[1], 0, 0),
-                        (1, s * tbe, s * w, sr.shape[-1]))
+                        (1, s * tbe, sr.shape[2], sr.shape[-1]))
                     return None, kept[0].astype(self.out_dtype)
 
                 _, bands = jax.lax.scan(body, None, pos)
+                # packed bands (nb, s*tbe, s*w/G, G*C) flatten to the frame
+                # in the same row-major order as the plain layout
                 return bands.reshape(s * h, s * w, -1)
 
             return run_stacked
@@ -312,27 +328,128 @@ class BandedHeadSR:
                           dtype=jnp.int32)
 
         out_ch = self.model.in_chans
+        pk = tail_pack_group() if packed else 1
 
         @jax.jit
         def run(variables, img):
             feat = self.model.apply(variables, img[None], stage="features")
-            canvas = jnp.zeros((1, s * h, s * w, out_ch), self.out_dtype)
+            canvas = jnp.zeros((1, s * h, s * w // pk, pk * out_ch),
+                               self.out_dtype)
 
             def body(acc, st_kb):
                 st, kb = st_kb[0], st_kb[1]
                 band = jax.lax.dynamic_slice(
                     feat, (0, st, 0, 0), (1, rows, w, nf))
-                sr = self.model.apply(variables, band, stage="head")
+                sr = hmodel.apply(variables, band, stage="head")
                 kept = jax.lax.dynamic_slice(
                     sr, (0, s * (kb - st), 0, 0),
-                    (1, s * tb, s * w, sr.shape[-1])).astype(self.out_dtype)
+                    (1, s * tb, sr.shape[2], sr.shape[-1])).astype(self.out_dtype)
                 return jax.lax.dynamic_update_slice(
                     acc, kept, (0, s * kb, 0, 0)), None
 
             canvas, _ = jax.lax.scan(body, canvas, pos)
-            return canvas[0]
+            return canvas[0].reshape(s * h, s * w, out_ch)
 
         return run
+
+    def _build_sharded(self, h: int, w: int, mesh, axis: str):
+        """Multi-chip banded head: the transformer body runs replicated (its
+        output is needed whole by every band), and the x4 head's feature-row
+        bands shard across the mesh ``axis`` — each device head-upscales its
+        share of bands into a local canvas and ONE psum blends them, exactly
+        like ``TiledSR._build_sharded`` (SURVEY §2e spatial-shard story).
+
+        Band layout: a 4-multiple divisor band height (h is a multiple of 4
+        for any aligned input) makes the kept regions tile [0, h) exactly, so
+        the canvases are disjoint and read-add-write accumulation + psum is
+        order-independent and exact.  Device slots beyond the real band count
+        re-run band 0 with a zero validity mask."""
+        import os
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        s = self.model.upscale
+        nf = self.model.num_feat
+        halo = self.HALO
+        assert h % 4 == 0, ("sharded banded head needs a 4-multiple feature "
+                            "height; set align=4 or larger", h)
+        from sisr_tpu.ops.pallas.conv3x3 import tail_pack_group
+        packed = ((s * w) % tail_pack_group() == 0
+                  and self.model.upsampler == "nearest+conv"
+                  and os.environ.get("SISR_HEAD_PACK", "1") == "1")
+        hmodel = (self.model.clone(head_packed=True)
+                  if packed and not self.model.head_packed else self.model)
+        pk = tail_pack_group() if packed else 1
+        out_ch = self.model.in_chans
+
+        # largest 4-multiple divisor of h no bigger than the target
+        divs = [d for d in range(4, h + 1, 4)
+                if h % d == 0 and d <= max(self.band_rows, 4)]
+        tbe = max(divs)
+        rows_e = min(tbe + 2 * halo, h)
+        kbs = list(range(0, h, tbe))
+        n_dev = mesh.shape[axis]
+        per = -(-len(kbs) // n_dev)
+        pos = [(min(max(kb - halo, 0), h - rows_e), kb, 1) for kb in kbs]
+        pos += [(pos[0][0], pos[0][1], 0)] * (per * n_dev - len(pos))
+        pos_arr = jnp.asarray(pos, jnp.int32).reshape(n_dev, per, 3)
+
+        def local_fn(variables, img, pos_local):
+            feat = self.model.apply(variables, img[None], stage="features")
+            canvas = jnp.zeros((1, s * h, s * w // pk, pk * out_ch),
+                               self.out_dtype)
+            if hasattr(jax.lax, "pcast"):
+                canvas = jax.lax.pcast(canvas, (axis,), to="varying")
+
+            def body(acc, st_kb_v):
+                st, kb, valid = st_kb_v[0], st_kb_v[1], st_kb_v[2]
+                band = jax.lax.dynamic_slice(
+                    feat, (0, st, 0, 0), (1, rows_e, w, nf))
+                sr = hmodel.apply(variables, band, stage="head")
+                kept = jax.lax.dynamic_slice(
+                    sr, (0, s * (kb - st), 0, 0),
+                    (1, s * tbe, sr.shape[2], sr.shape[-1]))
+                kept = (kept * valid.astype(kept.dtype)).astype(self.out_dtype)
+                cur = jax.lax.dynamic_slice(
+                    acc, (0, s * kb, 0, 0), kept.shape)
+                return jax.lax.dynamic_update_slice(
+                    acc, cur + kept, (0, s * kb, 0, 0)), None
+
+            canvas, _ = jax.lax.scan(body, canvas, pos_local[0])
+            return jax.lax.psum(canvas, axis)
+
+        sharded = shard_map(local_fn, mesh=mesh,
+                            in_specs=(P(), P(), P(axis)), out_specs=P())
+
+        @jax.jit
+        def run(variables, img):
+            return sharded(variables, img, pos_arr)[0].reshape(
+                s * h, s * w, out_ch)
+
+        return run
+
+    def sharded_call(self, variables, img: jnp.ndarray, mesh,
+                     axis: str = "band") -> jnp.ndarray:
+        """Band-sharded multi-chip whole-image SR: (H, W, 3) -> (H*s, W*s, 3).
+        Value-identical to ``__call__`` up to blend-accumulation dtype."""
+        h, w = img.shape[:2]
+        align = max(self.align, 4)
+        ph = (-h) % align
+        pw = (-w) % align
+        if ph or pw:
+            mode = "reflect" if (ph < h and pw < w) else "symmetric"
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        hh, ww = img.shape[:2]
+        key = ("sharded", hh, ww, id(mesh), axis)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_sharded(hh, ww, mesh, axis)
+        out = self._compiled[key](variables, img)
+        if ph or pw:
+            out = out[: h * self.model.upscale, : w * self.model.upscale]
+        return out
 
     def __call__(self, variables, img: jnp.ndarray) -> jnp.ndarray:
         """img: (H, W, 3) in [0,1] -> (H*scale, W*scale, 3)."""

@@ -124,3 +124,91 @@ def test_matches_torchvision():
         mask=torch.from_numpy(mask.transpose(0, 3, 1, 2)))
     want = tv.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _attn_oracle(q, kv, offset, kh, kw, pad, dil, heads, dg):
+    """Straight-loop deformable attention, NHWC (reference math:
+    KAIR_master/models/op/deform_attn_cuda_pt110.cpp:103-112)."""
+    b, h, w, c = q.shape
+    clip = kv.shape[1]
+    k = kh * kw
+    cpg = c // dg
+    d = c // heads
+
+    def sample(img, y, xx):
+        hh, ww, cc = img.shape
+        y0, x0 = int(np.floor(y)), int(np.floor(xx))
+        out = np.zeros(cc, np.float64)
+        for (yi, xi, wgt) in [(y0, x0, (1 - (y - y0)) * (1 - (xx - x0))),
+                              (y0, x0 + 1, (1 - (y - y0)) * (xx - x0)),
+                              (y0 + 1, x0, (y - y0) * (1 - (xx - x0))),
+                              (y0 + 1, x0 + 1, (y - y0) * (xx - x0))]:
+            if 0 <= yi <= hh - 1 and 0 <= xi <= ww - 1:
+                out += wgt * img[yi, xi]
+        return out
+
+    out = np.zeros((b, h, w, c), np.float64)
+    for bi in range(b):
+        for i in range(h):
+            for j in range(w):
+                ks = np.zeros((clip * k, c), np.float64)
+                vs = np.zeros((clip * k, c), np.float64)
+                for n in range(clip):
+                    for g in range(dg):
+                        for ki in range(kh):
+                            for kj in range(kw):
+                                kk = ki * kw + kj
+                                dy = offset[bi, n, i, j, 2 * (g * k + kk)]
+                                dx = offset[bi, n, i, j, 2 * (g * k + kk) + 1]
+                                sy = i - pad + ki * dil + dy
+                                sx = j - pad + kj * dil + dx
+                                sl = slice(g * cpg, (g + 1) * cpg)
+                                ks[n * k + kk, sl] = sample(
+                                    kv[bi, n, :, :, :c][:, :, sl], sy, sx)
+                                vs[n * k + kk, sl] = sample(
+                                    kv[bi, n, :, :, c:][:, :, sl], sy, sx)
+                for a in range(heads):
+                    sl = slice(a * d, (a + 1) * d)
+                    logit = ks[:, sl] @ (q[bi, i, j, sl] * d ** -0.5)
+                    att = np.exp(logit - logit.max())
+                    att /= att.sum()
+                    out[bi, i, j, sl] = att @ vs[:, sl]
+    return out
+
+
+def test_deform_attn_matches_numpy_oracle():
+    from sisr_tpu.ops.deform import deform_attn
+
+    rng = np.random.default_rng(11)
+    b, h, w, c = 1, 5, 6, 8
+    clip, heads, dg = 2, 2, 2
+    q = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    kv = rng.standard_normal((b, clip, h, w, 2 * c)).astype(np.float32)
+    off = (rng.standard_normal((b, clip, h, w, dg * 9 * 2)) * 1.5).astype(np.float32)
+
+    got = np.asarray(deform_attn(jnp.asarray(q), jnp.asarray(kv),
+                                 jnp.asarray(off), window=(3, 3),
+                                 attention_heads=heads,
+                                 deformable_groups=dg))
+    ref = _attn_oracle(q, kv, off, 3, 3, 1, 1, heads, dg)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_deform_attn_zero_offset_is_window_softmax():
+    """Zero offsets reduce to plain window attention over the 3x3
+    neighbourhood — spot-check the center position against direct math."""
+    from sisr_tpu.ops.deform import deform_attn
+
+    rng = np.random.default_rng(12)
+    b, h, w, c = 1, 5, 5, 4
+    q = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    kv = rng.standard_normal((b, 1, h, w, 2 * c)).astype(np.float32)
+    off = np.zeros((b, 1, h, w, 18), np.float32)
+    out = np.asarray(deform_attn(jnp.asarray(q), jnp.asarray(kv),
+                                 jnp.asarray(off)))
+    i = j = 2
+    ks = kv[0, 0, i - 1:i + 2, j - 1:j + 2, :c].reshape(9, c)
+    vs = kv[0, 0, i - 1:i + 2, j - 1:j + 2, c:].reshape(9, c)
+    logit = ks @ (q[0, i, j] * c ** -0.5)
+    att = np.exp(logit - logit.max()); att /= att.sum()
+    np.testing.assert_allclose(out[0, i, j], att @ vs, atol=1e-5)

@@ -388,6 +388,34 @@ def test_conv3x3_shuffled_tail_parity():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_conv3x3_shuffled_tail_packed_parity():
+    """Packed-output tail kernel (pair-form conv_hr + grouped conv_last,
+    out (B, H, W/16, 16*cout)) == the two-op reference reshaped, incl.
+    multi-band lagged pipeline and group borders."""
+    from sisr_tpu.ops.pallas.conv3x3 import (
+        _conv3x3_shuffled_tail_packed_pallas,
+        conv3x3_shuffled_tail_packed_reference, supports_packed_tail)
+
+    rng = np.random.default_rng(7)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    for (h2, w2, f, cout) in [(8, 16, 64, 3), (24, 64, 64, 3),
+                              (8, 40, 64, 5)]:
+        assert supports_packed_tail(h2, w2, 4 * f, cout)
+        yp = mk(1, h2, w2, 4 * f)
+        k1, b1 = mk(3, 3, f, f), mk(f)
+        k2, b2 = mk(3, 3, f, cout), mk(cout)
+        ref = conv3x3_shuffled_tail_packed_reference(yp, k1, b1, "leaky2",
+                                                     k2, b2)
+        got = _conv3x3_shuffled_tail_packed_pallas(yp, k1, b1, "leaky2",
+                                                   k2, b2, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+    # unsupported shapes are gated out (odd pair count / narrow channels)
+    assert not supports_packed_tail(8, 20, 256, 3)   # wpair 20 % 8 != 0
+    assert not supports_packed_tail(8, 16, 32, 3)    # 2*cin < 128
+
+
 def test_conv3x3_grouped_cout_parity(monkeypatch):
     """Tiny-Cout convs (conv_last) can take the output-pixel-grouped matmul
     path (8 px x Cout lanes per token; SISR_CONV_GROUP=1, default-off after

@@ -174,6 +174,33 @@ def test_banded_head_matches_whole(hw, band):
     np.testing.assert_allclose(banded, whole, atol=1e-5)
 
 
+def test_sharded_banded_head_matches_single_device():
+    """Band-sharded BandedHeadSR on the 8-device CPU mesh (body replicated,
+    x4-head bands split across the mesh axis, psum blend) must equal the
+    single-device banded forward — including a band count that doesn't
+    divide the device count (masked pad slots)."""
+    from sisr_tpu.models.hit_sir_pro import HiTSIR
+    from sisr_tpu.parallel.mesh import make_mesh
+    from sisr_tpu.parallel.tiling import BandedHeadSR
+
+    model = HiTSIR(is_mult_size_conv_feat_extract=False,
+                   is_channel_spatial_attn=False, is_fusion=False,
+                   embed_dim=16, depths=(1,), num_heads=(2,),
+                   base_win_size=(4, 4), mlp_ratio=1.0,
+                   upsampler="nearest+conv", num_feat=8,
+                   upscale=4, hier_win_ratios=(1,))
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((24, 16, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[None])
+
+    runner = BandedHeadSR(model, band_rows=4)   # 6 bands over 8 devices
+    single = np.asarray(runner(variables, img))
+    mesh = make_mesh(min(8, jax.device_count()), axis_name="band")
+    sharded = np.asarray(runner.sharded_call(variables, img, mesh))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_rect_strip_model_matches_square_tiling():
     """A real attention model through strip tiles must match square tiles
     where both see identical context (strip == whole image width)."""
