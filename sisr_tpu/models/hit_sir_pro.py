@@ -477,7 +477,7 @@ class SCC(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 stats=None) -> jnp.ndarray:
+                 stats=None, return_normal_form: bool = False):
         b, hp, wp, c = x.shape
         wh, ww = self.window_size
         # base window = elementwise min(window, base) (reference :415-417)
@@ -554,6 +554,12 @@ class SCC(nn.Module):
         mask = head_mask(heads, l_base, c // 2, self.dtype)
 
         proj_k, proj_b = LinearParams(c, c, name="proj")()
+
+        if return_normal_form:
+            # normal-form parameter bundle for the fused whole-HTB kernel
+            # (ops/pallas/htb_block.py); same tensors scc_block would get
+            return (sca, w1, w2, bb, pmat, pb, mask, bias.astype(dt),
+                    proj_k.astype(dt), proj_b.astype(dt))
 
         dropout_active = self.value_drop > 0.0 and not deterministic
         if dropout_active:
@@ -681,6 +687,53 @@ class HierarchicalTransformerBlock(nn.Module):
         wh, ww = self.window_size
         if not deterministic:
             stats = None
+
+        import os
+        from sisr_tpu.ops.pallas.htb_block import htb_fused, supports_fused
+        # measured OFF by default: at whole-frame level the fused kernel is
+        # exactly the sum of its parts (44.9 ms vs 19.2 SCC + 25.5 FFN) —
+        # the attn HBM round trip it eliminates was already hidden under
+        # the VPU-bound compute; frame medians 1711.4 fused vs 1708.4 ms
+        # (see ROADMAP "ruled out", r5).  SISR_FUSED_HTB=1 enables for A/B.
+        fused_want = (
+            jax.default_backend() == "tpu" and deterministic
+            and self.is_channel_spatial_attn
+            and os.environ.get("SISR_FUSED_HTB", "0") == "1"
+            and os.environ.get("SISR_FUSED_FFN", "1") == "1"
+            and os.environ.get("SISR_FUSED_SCC", "1") == "1"
+            and os.environ.get("SISR_FFN_PIPE", "1") == "1"
+            and supports_fused(self.window_size, self.base_win_size,
+                               (h, w), c))
+        if fused_want:
+            # whole-block fused kernel for the degenerate-window blocks:
+            # SCA+SCC+proj+LN1+ConvFFN+LN2 in one lagged band pipeline —
+            # the attention map never touches HBM (htb_block.py)
+            bundle = SCC(
+                dim=self.dim,
+                base_win_size=self.base_win_size,
+                window_size=self.window_size,
+                num_heads=self.num_heads,
+                is_channel_spatial_attn=self.is_channel_spatial_attn,
+                value_drop=self.value_drop,
+                proj_drop=self.drop,
+                dtype=self.dtype,
+                name="correlation",
+            )(x, deterministic=deterministic, stats=stats,
+              return_normal_form=True)
+            ln1_s, ln1_b = LayerNormParams(self.dim, name="norm1")()
+            hidden = int(self.dim * self.mlp_ratio)
+            (fc1_k, fc1_b), (dw_k, dw_b), (fc2_k, fc2_b) = FFNParams(
+                self.dim, hidden, name="mlp")()
+            ln2_s, ln2_b = LayerNormParams(self.dim, name="norm2")()
+            return htb_fused(
+                x, *bundle, self.num_heads, self.window_size,
+                ln1_s.astype(dt), ln1_b.astype(dt),
+                fc1_k.astype(dt), fc1_b.astype(dt),
+                dw_k[:, :, 0, :].astype(dt), dw_b.astype(dt),
+                fc2_k.astype(dt), fc2_b.astype(dt),
+                ln2_s.astype(dt), ln2_b.astype(dt),
+                emit_stats=emit_stats)
+
         xp = pad_to_multiple(x, self.window_size)  # reflect (reference :664-674)
         if stats is not None and xp.shape[1:3] != (h, w):
             # the folded stats describe the UNPADDED x; transform them to

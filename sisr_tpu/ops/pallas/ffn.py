@@ -145,6 +145,72 @@ def _tail_kernel(a_ref, ah_ref, s_ref, sh_ref, ln1s_ref, ln1b_ref, w1_ref,
     o_ref[0] = out.astype(dt)
 
 
+def _pipe_emit(edge_ref, hprev_ref, xprev_ref, top2, dw_ref, dwb_ref,
+               w2_ref, b2_ref, ln2s_ref, ln2b_ref, th: int):
+    """Emit one lagged band: dwconv(h) + gelu residual, fc2, LN2 residual.
+
+    Shared by the FFN pipe kernel and the fused whole-HTB kernel
+    (``htb_block.py``).  ``top2`` is the next band's first 2 h-rows (zeros at
+    the bottom border); halos ride the VMEM scratch refs."""
+    wd, ch = top2.shape[1], top2.shape[2]
+    c = xprev_ref.shape[-1]
+    dt = top2.dtype
+    f32 = jnp.float32
+    hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], top2],
+                             axis=0)                     # (th+4, W, Ch)
+    hp = jnp.pad(hstack, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
+    dwf = dw_ref[...]
+    dwb = dwb_ref[0].astype(f32)
+
+    def taps(lo: int, cw: int):
+        # materialize the K column shifts once (unaligned sublane
+        # relayouts); row shifts are then free slices of the leading dim
+        # — K relayouts, not K*K.  The taps accumulate as per-column
+        # expression TREES rather than 25 sequential acc updates: Mosaic
+        # keeps a tree's partials in registers, cutting the
+        # accumulator's VMEM read/write traffic ~5x (measured 0.10
+        # ms/kernel, tools/bench_ffn_ablate.py).
+        cols = [hp[:, lo + j:lo + j + cw, :] for j in range(K)]
+        sj = [sum(cols[j][r:r + th].astype(f32)
+                  * dwf[r * K + j, :].astype(f32)
+                  for r in range(K)) for j in range(K)]
+        return sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
+
+    # wide strip bands chunk the tap build over column blocks: the
+    # full-width form holds ~9 (th, W, Ch) f32 partials live, which at
+    # W=1920 spills ~45 MB past physical VMEM.  SISR_FFN_CHUNK tunes the
+    # chunk width (512 default; th=8 at W=1920 needs 256 to fit).
+    chunk = int(os.environ.get("SISR_FFN_CHUNK", "512"))
+    if wd <= chunk:
+        dwout = (taps(0, wd) + dwb).astype(dt)
+        h2 = hprev_ref[...] + _gelu_kernel(dwout)
+    else:
+        parts = []
+        for lo in range(0, wd, chunk):
+            cw = min(chunk, wd - lo)
+            dw_c = (taps(lo, cw) + dwb).astype(dt)
+            parts.append(hprev_ref[:, lo:lo + cw, :]
+                         + _gelu_kernel(dw_c))
+        h2 = jnp.concatenate(parts, axis=1)
+    y = (jnp.dot(h2.reshape(th * wd, ch), w2_ref[...],
+                 preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
+    return xprev_ref[...] + layer_norm(y.reshape(th, wd, c),
+                                       ln2s_ref[0], ln2b_ref[0])
+
+
+def _write_stats(out, cmean_ref, cmax_ref, psum_ref, pmax_ref):
+    """Per-band SCA pool stats (see ``htb_tail_stats``).  Mosaic requires
+    8-divisible second-minor block dims, so each band's vectors ride
+    row-replicated (8, N) blocks (consumers read row 0); the replication
+    write is ~0.5 MB/step, trivial next to the band's 2.8 MB output."""
+    of = out.astype(jnp.float32)
+    rep = lambda v: jnp.broadcast_to(v.reshape(1, -1), (8, v.size))
+    cmean_ref[0, 0] = rep(of.mean(-1))
+    cmax_ref[0, 0] = rep(of.max(-1))
+    psum_ref[0, 0] = rep(of.sum((0, 1)))
+    pmax_ref[0, 0] = rep(of.max((0, 1)))
+
+
 def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
                       dw_ref, dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
                       *refs, th: int, nb: int, stats: bool):
@@ -195,58 +261,11 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
         # rows nb*th.. below the image are zero padding (i == nb step)
         top2 = jnp.where(i < nb, hcur_ref[0:2],
                          jnp.zeros((2, wd, ch), dt))
-        hstack = jnp.concatenate([edge_ref[...], hprev_ref[...], top2],
-                                 axis=0)                     # (th+4, W, Ch)
-        hp = jnp.pad(hstack, ((0, 0), (PAD // 2, PAD // 2), (0, 0)))
-        dwf = dw_ref[...]
-        dwb = dwb_ref[0].astype(f32)
-
-        def taps(lo: int, cw: int):
-            # materialize the K column shifts once (unaligned sublane
-            # relayouts); row shifts are then free slices of the leading dim
-            # — K relayouts, not K*K.  The taps accumulate as per-column
-            # expression TREES rather than 25 sequential acc updates: Mosaic
-            # keeps a tree's partials in registers, cutting the
-            # accumulator's VMEM read/write traffic ~5x (measured 0.10
-            # ms/kernel, tools/bench_ffn_ablate.py).
-            cols = [hp[:, lo + j:lo + j + cw, :] for j in range(K)]
-            sj = [sum(cols[j][r:r + th].astype(f32)
-                      * dwf[r * K + j, :].astype(f32)
-                      for r in range(K)) for j in range(K)]
-            return sj[0] + sj[1] + sj[2] + sj[3] + sj[4]
-
-        # wide strip bands chunk the tap build over column blocks: the
-        # full-width form holds ~9 (th, W, Ch) f32 partials live, which at
-        # W=1920 spills ~45 MB past physical VMEM.  SISR_FFN_CHUNK tunes the
-        # chunk width (512 default; th=8 at W=1920 needs 256 to fit).
-        chunk = int(os.environ.get("SISR_FFN_CHUNK", "512"))
-        if wd <= chunk:
-            dwout = (taps(0, wd) + dwb).astype(dt)
-            h2 = hprev_ref[...] + _gelu_kernel(dwout)
-        else:
-            parts = []
-            for lo in range(0, wd, chunk):
-                cw = min(chunk, wd - lo)
-                dw_c = (taps(lo, cw) + dwb).astype(dt)
-                parts.append(hprev_ref[:, lo:lo + cw, :]
-                             + _gelu_kernel(dw_c))
-            h2 = jnp.concatenate(parts, axis=1)
-        y = (jnp.dot(h2.reshape(th * wd, ch), w2_ref[...],
-                     preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(dt)
-        out = xprev_ref[...] + layer_norm(y.reshape(th, wd, c),
-                                          ln2s_ref[0], ln2b_ref[0])
+        out = _pipe_emit(edge_ref, hprev_ref, xprev_ref, top2, dw_ref,
+                         dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, th)
         o_ref[0] = out.astype(dt)
         if stats:
-            # Mosaic requires 8-divisible second-minor block dims, so each
-            # band's vectors ride row-replicated (8, N) blocks (consumers
-            # read row 0); the replication write is ~0.5 MB/step, trivial
-            # next to the band's 2.8 MB output
-            of = out.astype(f32)
-            rep = lambda v: jnp.broadcast_to(v.reshape(1, -1), (8, v.size))
-            cmean_ref[0, 0] = rep(of.mean(-1))
-            cmax_ref[0, 0] = rep(of.max(-1))
-            psum_ref[0, 0] = rep(of.sum((0, 1)))
-            pmax_ref[0, 0] = rep(of.max((0, 1)))
+            _write_stats(out, cmean_ref, cmax_ref, psum_ref, pmax_ref)
 
     @pl.when(i > 0)
     def _edge_rotate():

@@ -614,3 +614,82 @@ def test_htb_tail_stats_accepts_padded_attn():
         out2, _ = htb_tail_stats(taller, *args[1:], False)
         np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def _htb_fused_args(win=4, heads=2, c=20, ch=40, nw=3, nh=4, b=1,
+                    with_sca=True, seed=7):
+    """Args for htb_fused: degenerate-window SCC bundle + FFN params.
+    Image is (b, nh*win, nw*win, c)."""
+    from sisr_tpu.ops.pallas.scc_attention import (
+        blockdiag_kgen, head_mask, pooling_matrix)
+
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    d = c // (2 * heads)
+    x = mk(b, nh * win, nw * win, c)
+    sca = None
+    if with_sca:
+        sca = (mk(9, c), mk(c), mk(9, c), mk(c),
+               mk(b, 1, 1, c), mk(b, 1, 1, c))
+    w1, w2, bb = blockdiag_kgen(mk(d, d), mk(d), mk(d, d), mk(d), heads)
+    pmat, pb = pooling_matrix(mk(1, 1), mk(1), win, win, win, win,
+                              jnp.float32)
+    mask = head_mask(heads, win * win, c // 2, jnp.float32)
+    bias = mk(win * win, heads * win * win)
+    scc = (x, sca, w1, w2, bb, pmat, pb, mask, bias, mk(c, c), mk(c),
+           heads, (win, win))
+    ffn = (mk(c) + 1.0, mk(c),            # ln1
+           mk(c, ch), mk(ch),             # fc1
+           mk(5, 5, ch), mk(ch),          # dwconv
+           mk(ch, c), mk(c),              # fc2
+           mk(c) + 1.0, mk(c))            # ln2
+    return scc + ffn
+
+
+@pytest.mark.parametrize("win,heads,c,ch,with_sca,nh", [
+    (4, 2, 20, 40, True, 4),     # small-L path (L=16 < half... no: half=10)
+    (4, 2, 48, 96, True, 3),     # L=16 < half=24: small-L out_c form
+    (8, 2, 20, 40, True, 2),     # w=8: L=64 >= half
+    (4, 2, 20, 40, False, 3),    # no SCA
+])
+def test_htb_fused_kernel_matches_reference(win, heads, c, ch, with_sca, nh):
+    from sisr_tpu.ops.pallas.htb_block import htb_fused, htb_fused_reference
+
+    args = _htb_fused_args(win=win, heads=heads, c=c, ch=ch,
+                           with_sca=with_sca, nh=nh)
+    ref = htb_fused_reference(*args)
+    got = htb_fused(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-3, rtol=3e-3)
+
+
+def test_htb_fused_stats_parity():
+    """emit_stats=True: out unchanged and the 4 folded SCA pools match the
+    reference pools of the kernel's own output."""
+    from sisr_tpu.ops.pallas.ffn import stats_reference
+    from sisr_tpu.ops.pallas.htb_block import htb_fused, htb_fused_reference
+
+    args = _htb_fused_args(win=4, heads=2, c=24, ch=48, nh=4, nw=8, b=2)
+    ref = htb_fused_reference(*args)
+    out, stats = htb_fused(*args, emit_stats=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-3, rtol=3e-3)
+    for g, r in zip(stats, stats_reference(out)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_htb_fused_consumes_threaded_stats():
+    """sca carrying precomputed (cmean, cmax) maps must equal recomputing
+    them from x (the RHTB stats-threading contract)."""
+    from sisr_tpu.ops.pallas.htb_block import htb_fused
+
+    args = _htb_fused_args(win=4, heads=2, c=20, ch=40, nh=4)
+    x, sca = args[0], args[1]
+    base = htb_fused(*args, interpret=True)
+    cmean = x.astype(jnp.float32).mean(-1)
+    cmax = x.astype(jnp.float32).max(-1)
+    args2 = (x, sca + (cmean, cmax)) + args[2:]
+    got = htb_fused(*args2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
