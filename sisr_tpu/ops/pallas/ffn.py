@@ -278,6 +278,53 @@ def _tail_pipe_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
         xprev_ref[...] = xcur_ref[...]
 
 
+def _tail_pipe_parity_kernel(a_ref, s_ref, ln1s_ref, ln1b_ref, w1_ref,
+                             b1_ref, dw_ref, dwb_ref, w2_ref, b2_ref,
+                             ln2s_ref, ln2b_ref, *refs, th: int, nb: int,
+                             stats: bool):
+    """Parity-slot variant of ``_tail_pipe_kernel``: bands write scratch
+    slot ``i % 2`` and the emit reads slot ``(i-1) % 2`` directly — no
+    hprev/xprev rotation copies (~10 MB of VMEM traffic per grid step at
+    strip widths, ~1.4 ms/block across 272 steps).  The h_{i-2} bottom-2
+    halo is read from slot ``i % 2`` BEFORE the compute overwrites it."""
+    if stats:
+        (o_ref, cmean_ref, cmax_ref, psum_ref, pmax_ref,
+         x_scr, h_scr) = refs
+    else:
+        (o_ref, x_scr, h_scr) = refs
+    wd = o_ref.shape[2]
+    c = o_ref.shape[3]
+    ch = w1_ref.shape[1]
+    dt = o_ref.dtype
+    f32 = jnp.float32
+    i = pl.program_id(1)
+    ic = jax.lax.rem(i, 2)
+    ip = jax.lax.rem(i + 1, 2)
+
+    # h_{i-2}'s bottom 2 rows live in slot ic until _compute overwrites it;
+    # zeros above the image (bands -1/0 have no real top halo)
+    edge = jnp.where(i >= 2, h_scr[ic, th - 2:th],
+                     jnp.zeros((2, wd, ch), dt))
+
+    @pl.when(i < nb)
+    def _compute():
+        x = s_ref[0] + layer_norm(a_ref[0], ln1s_ref[0], ln1b_ref[0])
+        lin1 = jnp.dot(x.reshape(th * wd, c), w1_ref[...],
+                       preferred_element_type=f32) + b1_ref[0].astype(f32)
+        x_scr[ic] = x
+        h_scr[ic] = _gelu_kernel(lin1).astype(dt).reshape(th, wd, ch)
+
+    @pl.when(i > 0)
+    def _emit():
+        top2 = jnp.where(i < nb, h_scr[ic, 0:2],
+                         jnp.zeros((2, wd, ch), dt))
+        out = _pipe_emit(edge, h_scr[ip], x_scr[ip], top2, dw_ref,
+                         dwb_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, th)
+        o_ref[0] = out.astype(dt)
+        if stats:
+            _write_stats(out, cmean_ref, cmax_ref, psum_ref, pmax_ref)
+
+
 def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
                    ln2_s, ln2_b, interpret: bool = False,
                    stats: bool = False):
@@ -295,7 +342,12 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
     nb = h // th
     dt = attn.dtype
 
-    kernel = functools.partial(_tail_pipe_kernel, th=th, nb=nb, stats=stats)
+    # parity-slot scratch is the measured default: whole-frame 1700.3 vs
+    # 1710.1 ms median with rotation copies, bit-identical (r5 A/B)
+    parity = os.environ.get("SISR_FFN_PARITY", "1") == "1"
+    kernel = functools.partial(
+        _tail_pipe_parity_kernel if parity else _tail_pipe_kernel,
+        th=th, nb=nb, stats=stats)
     const = lambda bi, ri: (0, 0)
     body = pl.BlockSpec(
         (1, th, wd, c), lambda bi, ri: (bi, jnp.minimum(ri, nb - 1), 0, 0))
@@ -339,13 +391,16 @@ def _htb_tail_pipe(attn, shortcut, ln1_s, ln1_b, w1, b1, dw, dwb, w2, b2,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((th, wd, c), dt),      # x (current band)
-            pltpu.VMEM((th, wd, c), dt),      # x (previous band)
-            pltpu.VMEM((th, wd, ch), dt),     # h (current band)
-            pltpu.VMEM((th, wd, ch), dt),     # h (previous band)
-            pltpu.VMEM((2, wd, ch), dt),      # h_{i-2} bottom 2 rows
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, th, wd, c), dt),   # x2 parity slots
+             pltpu.VMEM((2, th, wd, ch), dt)]  # h parity slots
+            if parity else
+            [pltpu.VMEM((th, wd, c), dt),      # x (current band)
+             pltpu.VMEM((th, wd, c), dt),      # x (previous band)
+             pltpu.VMEM((th, wd, ch), dt),     # h (current band)
+             pltpu.VMEM((th, wd, ch), dt),     # h (previous band)
+             pltpu.VMEM((2, wd, ch), dt)]      # h_{i-2} bottom 2 rows
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=int(os.environ.get(

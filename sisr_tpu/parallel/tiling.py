@@ -292,6 +292,12 @@ class BandedHeadSR:
                 if h % d == 0 and tb // 2 <= d <= 2 * tb]
         tbe = min(divs, key=lambda d: (abs(d - tb), -d)) if divs else None
 
+        # scan unroll: >1 lets XLA software-pipeline consecutive band
+        # programs (DMA of band i+1 under compute of band i) at the cost of
+        # keeping that many bands' head intermediates live (~2.3 GB each at
+        # 1080p — keep unroll*2.3 GB well under HBM)
+        unroll = int(os.environ.get("SISR_HEAD_UNROLL", "1"))
+
         if tbe is not None:
             rows_e = tbe + 2 * halo
             kbs = list(range(0, h, tbe))
@@ -312,7 +318,7 @@ class BandedHeadSR:
                         (1, s * tbe, sr.shape[2], sr.shape[-1]))
                     return None, kept[0].astype(self.out_dtype)
 
-                _, bands = jax.lax.scan(body, None, pos)
+                _, bands = jax.lax.scan(body, None, pos, unroll=unroll)
                 # packed bands (nb, s*tbe, s*w/G, G*C) flatten to the frame
                 # in the same row-major order as the plain layout
                 return bands.reshape(s * h, s * w, -1)
@@ -347,7 +353,7 @@ class BandedHeadSR:
                 return jax.lax.dynamic_update_slice(
                     acc, kept, (0, s * kb, 0, 0)), None
 
-            canvas, _ = jax.lax.scan(body, canvas, pos)
+            canvas, _ = jax.lax.scan(body, canvas, pos, unroll=unroll)
             return canvas[0].reshape(s * h, s * w, out_ch)
 
         return run

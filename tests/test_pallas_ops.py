@@ -693,3 +693,17 @@ def test_htb_fused_consumes_threaded_stats():
     got = htb_fused(*args2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("parity", ["0", "1"])
+def test_htb_tail_pipe_scratch_variants(parity, monkeypatch):
+    """Both pipe scratch schemes (parity slots / rotation copies) must match
+    the reference; parity slots are the measured default (ROADMAP r5)."""
+    from sisr_tpu.ops.pallas.ffn import _htb_tail_pipe, htb_tail_reference
+
+    monkeypatch.setenv("SISR_FFN_PARITY", parity)
+    args = _tail_args(h=24, w=16, c=12, ch=24, b=2, seed=9)
+    ref = htb_tail_reference(*args)
+    got = _htb_tail_pipe(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
