@@ -295,8 +295,10 @@ class BandedHeadSR:
         # scan unroll: >1 lets XLA software-pipeline consecutive band
         # programs (DMA of band i+1 under compute of band i) at the cost of
         # keeping that many bands' head intermediates live (~2.3 GB each at
-        # 1080p — keep unroll*2.3 GB well under HBM)
-        unroll = int(os.environ.get("SISR_HEAD_UNROLL", "1"))
+        # 1080p — keep unroll*2.3 GB well under HBM).  Measured r5 at 1080p:
+        # unroll 1/2/4 = 1700.3/1688.1/1689.1 ms median, bit-identical — 2
+        # is the shipped default.
+        unroll = int(os.environ.get("SISR_HEAD_UNROLL", "2"))
 
         if tbe is not None:
             rows_e = tbe + 2 * halo
